@@ -1,0 +1,117 @@
+"""MobileNet-V2 — inverted residuals + linear bottlenecks.
+
+Demanded by BASELINE.json config #3 ("MobileNet-V2 ImageNet,
+depthwise-separable conv Pallas path"); upstream presence is [LOW/MED]
+(SURVEY.md §2.2 note) so this is built to the Sandler et al. 2018 spec
+rather than to a reference file.
+"""
+
+import jax
+
+from convnet_tpu.core.module import Module, Sequential, Context
+from convnet_tpu.nn import Conv2d, BatchNorm2d, Linear, ReLU6, GlobalAvgPool, Dropout
+from convnet_tpu.models.resnet import weight_decay_config
+from convnet_tpu.regimes import schedules
+
+
+class ConvBNReLU6(Module):
+    def __init__(self, in_ch, out_ch, kernel, stride=1, padding=0, groups=1,
+                 relu6=True):
+        self.conv = Conv2d(in_ch, out_ch, kernel, stride, padding, groups=groups)
+        self.bn = BatchNorm2d(out_ch)
+        self.relu6 = relu6
+
+    def __call__(self, params, state, x, ctx: Context):
+        x, _ = self.conv(params["conv"], {}, x, ctx)
+        x, bn_state = self.bn(params["bn"], state["bn"], x, ctx)
+        if self.relu6:
+            x = jax.numpy.minimum(jax.nn.relu(x), jax.numpy.asarray(6.0, x.dtype))
+        return x, {"bn": bn_state}
+
+
+class InvertedResidual(Module):
+    def __init__(self, in_ch, out_ch, stride, expand_ratio):
+        hidden = int(round(in_ch * expand_ratio))
+        self.use_res = stride == 1 and in_ch == out_ch
+        layers = []
+        if expand_ratio != 1:
+            layers.append(ConvBNReLU6(in_ch, hidden, 1))
+        layers.append(ConvBNReLU6(hidden, hidden, 3, stride, 1, groups=hidden))
+        layers.append(ConvBNReLU6(hidden, out_ch, 1, relu6=False))  # linear
+        self.block = Sequential(*layers)
+
+    def __call__(self, params, state, x, ctx: Context):
+        out, new_block_state = self.block(params["block"], state["block"], x, ctx)
+        if self.use_res:
+            out = out + x
+        return out, {"block": new_block_state}
+
+
+class MobileNetV2(Module):
+    # t (expansion), c (channels), n (repeats), s (stride)
+    CFG = [
+        (1, 16, 1, 1),
+        (6, 24, 2, 2),
+        (6, 32, 3, 2),
+        (6, 64, 4, 2),
+        (6, 96, 3, 1),
+        (6, 160, 3, 2),
+        (6, 320, 1, 1),
+    ]
+
+    def __init__(self, num_classes=1000, width=1.0, dropout=0.2,
+                 regime="normal", batch_size=256, epochs=150):
+        def c(ch):
+            v = max(int(ch * width + 4) // 8 * 8, 8)  # round to multiple of 8
+            if v < 0.9 * ch * width:
+                v += 8
+            return v
+
+        in_ch = c(32)
+        blocks = [ConvBNReLU6(3, in_ch, 3, 2, 1)]
+        for t, ch, n, s in self.CFG:
+            out_ch = c(ch)
+            for i in range(n):
+                blocks.append(InvertedResidual(in_ch, out_ch,
+                                               s if i == 0 else 1, t))
+                in_ch = out_ch
+        last = c(1280) if width > 1.0 else 1280
+        blocks.append(ConvBNReLU6(in_ch, last, 1))
+        self.features = Sequential(*blocks)
+        self.pool = GlobalAvgPool()
+        self.drop = Dropout(dropout)
+        self.fc = Linear(last, num_classes)
+        self.input_size = 224
+        steps_per_epoch = max(1281167 // batch_size, 1)
+        wd = weight_decay_config(4e-5)
+        if regime == "cosine":
+            self.regime = [{
+                "epoch": 0, "optimizer": "SGD", "momentum": 0.9,
+                "regularizer": wd,
+                "lr": schedules.cosine_lr(0.05 * batch_size / 256,
+                                          epochs * steps_per_epoch,
+                                          warmup_steps=steps_per_epoch),
+            }]
+        else:
+            # RMSprop-style regime per the MobileNetV2 paper lineage,
+            # expressed with this framework's exponential epoch decay
+            self.regime = [{
+                "epoch": 0, "optimizer": "RMSprop", "alpha": 0.9,
+                "momentum": 0.9, "eps": 1.0,
+                "regularizer": wd,
+                "lr": schedules.step_decay_lr(0.045, 0.98, 1),
+            }]
+
+    def __call__(self, params, state, x, ctx: Context):
+        new_state = dict(state)
+        x, new_state["features"] = self.features(
+            params["features"], state["features"], x, ctx)
+        x, _ = self.pool({}, {}, x, ctx)
+        x, _ = self.drop({}, {}, x, ctx)
+        x, _ = self.fc(params["fc"], {}, x, ctx)
+        return x, new_state
+
+
+def mobilenet_v2(**config):
+    config.pop("dataset", None)
+    return MobileNetV2(**config)

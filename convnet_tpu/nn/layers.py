@@ -1,0 +1,204 @@
+"""Leaf layer modules wrapping ops/ with parameters and state.
+
+These are the TPU-native counterparts of the torch layers the reference
+zoo is built from (``nn.Conv2d``, ``nn.BatchNorm2d``, ``nn.Linear``,
+pooling, dropout — SURVEY.md §2.1 row 1). Parameters live in fp32
+(policy.param_dtype) and are cast to compute dtype at use; BN running
+stats always fp32 (policy.stat_dtype).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from convnet_tpu.core import initializers as init
+from convnet_tpu.core.dtypes import DEFAULT_POLICY
+from convnet_tpu.core.module import Module, Context
+from convnet_tpu import ops
+
+
+class Conv2d(Module):
+    """NHWC conv layer; weight HWIO. ``impl='pallas'`` contexts route
+    fused variants at the block level (nn/blocks), not here."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, bias=False,
+                 weight_init=init.kaiming_normal):
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = kernel_size if isinstance(kernel_size, tuple) else (kernel_size, kernel_size)
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+        self.use_bias = bias
+        self.weight_init = weight_init
+
+    def init(self, key, policy=DEFAULT_POLICY):
+        kh, kw = self.kernel_size
+        wkey, bkey = jax.random.split(key)
+        shape = (kh, kw, self.in_channels // self.groups, self.out_channels)
+        params = {"w": self.weight_init(wkey, shape, policy.param_dtype)}
+        if self.use_bias:
+            fan_in = kh * kw * self.in_channels // self.groups
+            bound = 1.0 / max(fan_in, 1) ** 0.5
+            params["b"] = jax.random.uniform(
+                bkey, (self.out_channels,), policy.param_dtype, -bound, bound)
+        return params, {}
+
+    def __call__(self, params, state, x, ctx: Context):
+        y = ops.conv2d(x, params["w"], stride=self.stride,
+                       padding=self.padding, dilation=self.dilation,
+                       groups=self.groups)
+        if self.use_bias:
+            y = (y.astype(jnp.float32) + params["b"].astype(jnp.float32)).astype(y.dtype)
+        return y, state
+
+
+class BatchNorm2d(Module):
+    """BN over NHWC channels; running stats in ``state``. Cross-replica
+    statistics when ``ctx.axis_name`` is set (SURVEY.md §2.3 row 3)."""
+
+    def __init__(self, num_features, eps=1e-5, momentum=0.1, affine=True,
+                 gamma_init=init.ones):
+        self.num_features = num_features
+        self.eps = eps
+        self.momentum = momentum
+        self.affine = affine
+        self.gamma_init = gamma_init
+
+    def init(self, key, policy=DEFAULT_POLICY):
+        params = {}
+        if self.affine:
+            params = {
+                "scale": self.gamma_init(key, (self.num_features,), policy.param_dtype),
+                "bias": jnp.zeros((self.num_features,), policy.param_dtype),
+            }
+        state = {
+            "mean": jnp.zeros((self.num_features,), policy.stat_dtype),
+            "var": jnp.ones((self.num_features,), policy.stat_dtype),
+        }
+        return params, state
+
+    def __call__(self, params, state, x, ctx: Context):
+        scale = params.get("scale") if self.affine else None
+        bias = params.get("bias") if self.affine else None
+        if ctx.train:
+            y, mean, var = ops.batch_norm_train(
+                x, scale, bias, state["mean"], state["var"],
+                momentum=self.momentum, eps=self.eps,
+                axis_name=ctx.axis_name,
+                axis_size=(jax.lax.axis_size(ctx.axis_name)
+                           if ctx.axis_name is not None else 1),
+            )
+            return y, {"mean": mean, "var": var}
+        y = ops.batch_norm_inference(x, scale, bias, state["mean"],
+                                     state["var"], eps=self.eps)
+        return y, state
+
+
+class Linear(Module):
+    def __init__(self, in_features, out_features, bias=True,
+                 weight_init=init.torch_linear_default):
+        self.in_features = in_features
+        self.out_features = out_features
+        self.use_bias = bias
+        self.weight_init = weight_init
+
+    def init(self, key, policy=DEFAULT_POLICY):
+        wkey, bkey = jax.random.split(key)
+        params = {"w": self.weight_init(wkey, (self.in_features, self.out_features),
+                                        policy.param_dtype)}
+        if self.use_bias:
+            bound = 1.0 / max(self.in_features, 1) ** 0.5
+            params["b"] = jax.random.uniform(
+                bkey, (self.out_features,), policy.param_dtype, -bound, bound)
+        return params, {}
+
+    def __call__(self, params, state, x, ctx: Context):
+        return ops.linear(x, params["w"], params.get("b")), state
+
+
+class _Stateless(Module):
+    def init(self, key, policy=DEFAULT_POLICY):
+        return {}, {}
+
+
+class ReLU(_Stateless):
+    def __call__(self, params, state, x, ctx):
+        return jax.nn.relu(x), state
+
+
+class ReLU6(_Stateless):
+    def __call__(self, params, state, x, ctx):
+        return jnp.minimum(jax.nn.relu(x), jnp.asarray(6.0, x.dtype)), state
+
+
+class HardSwish(_Stateless):
+    def __call__(self, params, state, x, ctx):
+        return jax.nn.hard_swish(x), state
+
+
+class Sigmoid(_Stateless):
+    def __call__(self, params, state, x, ctx):
+        return jax.nn.sigmoid(x), state
+
+
+class Dropout(_Stateless):
+    def __init__(self, rate=0.5):
+        self.rate = rate
+
+    def __call__(self, params, state, x, ctx: Context):
+        if not ctx.train or self.rate == 0.0:
+            return x, state
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(ctx.next_rng(), keep, x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x)), state
+
+
+class Flatten(_Stateless):
+    def __call__(self, params, state, x, ctx):
+        return x.reshape(x.shape[0], -1), state
+
+
+class MaxPool2d(_Stateless):
+    def __init__(self, kernel_size, stride=None, padding=0):
+        self.kernel_size, self.stride, self.padding = kernel_size, stride, padding
+
+    def __call__(self, params, state, x, ctx):
+        return ops.max_pool2d(x, self.kernel_size, self.stride, self.padding), state
+
+
+class AvgPool2d(_Stateless):
+    def __init__(self, kernel_size, stride=None, padding=0):
+        self.kernel_size, self.stride, self.padding = kernel_size, stride, padding
+
+    def __call__(self, params, state, x, ctx):
+        return ops.avg_pool2d(x, self.kernel_size, self.stride, self.padding), state
+
+
+class GlobalAvgPool(_Stateless):
+    """AdaptiveAvgPool2d(1) + flatten equivalent."""
+
+    def __init__(self, keepdims=False):
+        self.keepdims = keepdims
+
+    def __call__(self, params, state, x, ctx):
+        return ops.global_avg_pool(x, keepdims=self.keepdims), state
+
+
+class LocalResponseNorm(_Stateless):
+    """LRN across channels (AlexNet-era; kept for zoo completeness)."""
+
+    def __init__(self, size=5, alpha=1e-4, beta=0.75, k=2.0):
+        self.size, self.alpha, self.beta, self.k = size, alpha, beta, k
+
+    def __call__(self, params, state, x, ctx):
+        sq = jnp.square(x.astype(jnp.float32))
+        half = self.size // 2
+        pads = [(0, 0)] * 3 + [(half, self.size - 1 - half)]
+        sq = jnp.pad(sq, pads)
+        win = sum(sq[..., i:i + x.shape[-1]] for i in range(self.size))
+        denom = jnp.power(self.k + self.alpha * win / self.size, self.beta)
+        return (x.astype(jnp.float32) / denom).astype(x.dtype), state

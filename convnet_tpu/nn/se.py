@@ -1,0 +1,50 @@
+"""Squeeze-and-Excitation blocks.
+
+TPU-native rebuild of the reference's models/modules/se.py:~5–60
+(approx., unverified — SURVEY.md §2.2): global-pool → FC bottleneck →
+gate. The gate multiply is a natural Pallas fusion target
+(ops/pallas/residual.py fuses gate*x (+residual) + ReLU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from convnet_tpu.core.module import Module, Context
+from convnet_tpu.core.dtypes import DEFAULT_POLICY
+from convnet_tpu.nn.layers import Linear, GlobalAvgPool
+
+
+class SEBlock(Module):
+    def __init__(self, channels, reduction=16):
+        self.channels = channels
+        hidden = max(channels // reduction, 1)
+        self.fc1 = Linear(channels, hidden)
+        self.fc2 = Linear(hidden, channels)
+
+    def __call__(self, params, state, x, ctx: Context):
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+        s, _ = self.fc1(params["fc1"], {}, s, ctx)
+        s = jax.nn.relu(s)
+        s, _ = self.fc2(params["fc2"], {}, s, ctx)
+        gate = jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+        return x * gate[:, None, None, :], state
+
+
+class SESwishBlock(Module):
+    """Swish-gated SE variant (se.py:~40–60 approx.)."""
+
+    def __init__(self, channels, reduction=16):
+        self.channels = channels
+        hidden = max(channels // reduction, 1)
+        self.fc1 = Linear(channels, hidden)
+        self.fc2 = Linear(hidden, channels)
+
+    def __call__(self, params, state, x, ctx: Context):
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+        s, _ = self.fc1(params["fc1"], {}, s, ctx)
+        s = jax.nn.swish(s)
+        s, _ = self.fc2(params["fc2"], {}, s, ctx)
+        gate = jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+        return x * gate[:, None, None, :], state

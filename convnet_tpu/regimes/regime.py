@@ -1,0 +1,96 @@
+"""Regime engine — time-indexed declarative configuration.
+
+The reference's single most reusable architectural idea (SURVEY.md §1,
+utils/regime.py:~5–70 approx.): a *regime* is a list of dicts, each with
+an ``'epoch'`` and/or ``'step'`` trigger plus settings. As training time
+advances, every entry whose trigger time has been reached is merged (in
+order) into the active setting. One engine serves three consumers:
+
+- optimizer hyperparameters (``OptimRegime``),
+- data-pipeline settings (``DataRegime``: batch size, input size,
+  duplicates, augmentation switches),
+- authored *by the models themselves* (``model.regime`` attributes).
+
+TPU-native split (SURVEY.md §7 "Regime semantics under jit"): regime
+resolution happens in Python outside ``jit`` (it is O(entries) dict
+work per step); **scalar** results (lr, momentum, wd) are fed to the
+compiled train step as device scalars so a regime change never triggers
+recompilation, while **structural** results (batch size, image size,
+optimizer class) rebuild the loader / re-jit, exactly like the
+reference rebuilds its DataLoader.
+
+Setting values may be callables ``f(epoch, step) -> value`` (the
+reference's ``step_lambda`` mechanism) — evaluated at resolution time.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Callable, Dict, List, Optional
+
+
+def eval_setting(setting: Dict[str, Any], epoch: float, step: int) -> Dict[str, Any]:
+    """Evaluate callable entries of a resolved setting dict."""
+    out = {}
+    for k, v in setting.items():
+        out[k] = v(epoch, step) if callable(v) else v
+    return out
+
+
+class Regime:
+    """Interprets a list of ``{'epoch': e, 'step': s, **settings}`` dicts.
+
+    ``update(epoch, train_steps)`` returns True when the active setting
+    changed. ``setting`` holds the merged raw setting; use
+    ``eval_setting`` (or ``resolved``) for callable evaluation.
+    """
+
+    def __init__(self, regime: Optional[List[Dict[str, Any]]], defaults: Optional[Dict[str, Any]] = None):
+        self.regime = list(regime) if regime else []
+        self.defaults = dict(defaults or {})
+        self.setting: Dict[str, Any] = dict(self.defaults)
+        self.current_regime_phase: Optional[int] = None
+        self.epoch = 0.0
+        self.steps = 0
+
+    def update(self, epoch: Optional[float] = None, train_steps: Optional[int] = None) -> bool:
+        """Advance time; re-merge entries; True if the setting changed."""
+        if epoch is not None:
+            self.epoch = epoch
+        if train_steps is not None:
+            self.steps = train_steps
+        if not self.regime:
+            return False
+
+        new_setting = dict(self.defaults)
+        phase = None
+        for i, entry in enumerate(self.regime):
+            e = entry.get("epoch")
+            s = entry.get("step")
+            triggered = True
+            if e is not None and self.epoch < e:
+                triggered = False
+            if s is not None and self.steps < s:
+                triggered = False
+            if e is None and s is None:
+                triggered = True  # unconditional entry (base settings)
+            if triggered:
+                phase = i
+                new_setting.update(
+                    {k: v for k, v in entry.items() if k not in ("epoch", "step")})
+
+        changed = (new_setting != self.setting) or (phase != self.current_regime_phase)
+        if changed:
+            self.setting = new_setting
+            self.current_regime_phase = phase
+        return changed
+
+    def resolved(self) -> Dict[str, Any]:
+        return eval_setting(self.setting, self.epoch, self.steps)
+
+    def get(self, key, default=None):
+        value = self.setting.get(key, default)
+        return value(self.epoch, self.steps) if callable(value) else value
+
+    def __repr__(self):
+        return f"Regime(phases={len(self.regime)}, setting={self.setting})"
