@@ -1,0 +1,7 @@
+from convnet_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    DATA_AXIS,
+    local_batch_size,
+)

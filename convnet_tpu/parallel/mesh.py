@@ -1,0 +1,68 @@
+"""Device mesh + data-parallel sharding utilities.
+
+TPU-native replacement for the reference's distributed-communication
+layer (SURVEY.md §2.4): where the reference wires
+``dist.init_process_group`` (main.py:~170–185 approx.) +
+DistributedDataParallel + DistributedSampler + NCCL all-reduce, this
+framework uses a ``jax.sharding.Mesh`` with a ``'data'`` axis.
+Gradient all-reduce is an explicit ``lax.pmean`` inside the
+``shard_map``-wrapped train step, riding ICI within a slice and DCN
+across slices; cross-replica BatchNorm uses ``lax.pmean`` of batch
+moments over the same axis (ops/norm.py).
+
+Multi-host: call ``jax.distributed.initialize`` (coordinator address ≈
+``MASTER_ADDR``) before ``make_mesh``; every host then sees the global
+device set and feeds its local shard of the batch (data/loader.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices: Optional[Sequence] = None,
+              axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the first N) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully-replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Shard leading (batch) axis of each leaf across the data axis."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh,
+                     axis_name: str = DATA_AXIS) -> int:
+    n = mesh.shape[axis_name]
+    if global_batch % n != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by data-parallel "
+            f"degree {n}")
+    return global_batch // n
+
+
+def process_batch_slice(global_batch: int) -> slice:
+    """The slice of the global batch this host is responsible for
+    (per-host input sharding for multi-host runs)."""
+    n = jax.process_count()
+    idx = jax.process_index()
+    per = global_batch // n
+    return slice(idx * per, (idx + 1) * per)

@@ -1,0 +1,388 @@
+"""Trainer — compiled training/eval engine.
+
+Rebuild of train.py:~20–400 (approx., SURVEY.md §2.2 "Training
+engine"), redesigned for XLA's compilation model: instead of the
+reference's eager per-batch loop (forward → backward per chunk →
+optimizer step, with DDP all-reduce hooks), the whole step —
+mixup/cutmix, micro-batched forward+backward with gradient
+accumulation, gradient all-reduce, clipping, optimizer update, metric
+computation — is ONE jitted function with donated buffers. Data
+parallelism wraps the same function in ``shard_map`` over a
+``Mesh(('data',))``; hyperparameters enter as device scalars resolved
+per step by ``OptimRegime`` (regimes/optim.py) so schedules never
+recompile.
+
+Feature parity ledger vs the reference Trainer:
+- chunked micro-batching (``--chunk-batch``)        → unrolled loop in-jit
+- mixup/cutmix with soft-target CE                  → train/mixup.py in-jit
+- label smoothing (``--label-smoothing``)            → losses.cross_entropy
+- loss scale (``--loss-scale``)                      → hp['loss_scale']
+- grad clip (``--grad-clip``)                        → hp['grad_clip']
+- duplicates / batch augmentation (``--duplicates``) → data pipeline +
+  eval-time output averaging (``average_output``) + ``--adapt-grad-norm``
+- DDP/DataParallel                                   → shard_map over mesh
+- per-replica BN (+ new: cross-replica via sync_bn)  → ops/norm.py
+- ``calibrate_bn``                                   → Trainer.calibrate_bn
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # jax>=0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map_fn
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_fn
+
+from jax.sharding import PartitionSpec as P
+
+from convnet_tpu.core.dtypes import get_policy
+from convnet_tpu.core.module import Context
+from convnet_tpu.regimes.optim import (
+    OptimRegime, make_update_fn, clip_by_global_norm, global_norm,
+)
+from convnet_tpu.train.losses import CrossEntropyLoss
+from convnet_tpu.train.mixup import mixup_batch, cutmix_batch
+from convnet_tpu.train.meters import AverageMeter, AccuracyMeter, correct_topk
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    dtype: str = "float32"          # dtype policy name (bf16 for TPU mixed)
+    impl: str = "xla"               # kernel impl: 'xla' | 'pallas'
+    mixup_alpha: float = 0.0
+    cutmix_alpha: float = 0.0
+    label_smoothing: float = 0.0
+    grad_clip: float = -1.0
+    loss_scale: float = 1.0
+    chunk_batch: int = 1            # micro-batches per step (grad accum)
+    duplicates: int = 1             # batch augmentation factor
+    adapt_grad_norm: Optional[int] = None
+    sync_bn: bool = False           # cross-replica BN statistics
+    average_output: bool = False    # duplicate-averaged eval (TTA)
+    print_freq: int = 50
+
+
+class Trainer:
+    def __init__(self, model, optim_regime: OptimRegime, num_classes: int,
+                 config: TrainerConfig = None, mesh=None, seed: int = 0):
+        self.model = model
+        self.optim = optim_regime
+        self.num_classes = num_classes
+        self.cfg = config or TrainerConfig()
+        self.mesh = mesh
+        self.policy = get_policy(self.cfg.dtype)
+        self.rng = jax.random.PRNGKey(seed)
+        self.epoch = 0
+        self.training_steps = 0
+        self._step_fns: Dict[str, Any] = {}
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------
+    # step construction
+    # ------------------------------------------------------------------
+
+    @property
+    def data_axis(self):
+        return self.mesh.axis_names[0] if self.mesh is not None else None
+
+    def _loss_fn(self, params, state, x, y, rng, axis_name):
+        ctx = Context(train=True, rng=rng, policy=self.policy,
+                      axis_name=axis_name if self.cfg.sync_bn else None,
+                      impl=self.cfg.impl)
+        logits, new_state = self.model(params, state, x, ctx)
+        criterion = CrossEntropyLoss(smooth_eps=self.cfg.label_smoothing)
+        loss = criterion(logits, y)
+        return loss, (new_state, logits)
+
+    def _make_train_step(self, optimizer_name: str):
+        cfg = self.cfg
+        axis = self.data_axis
+        update_fn = self._update_fn
+
+        def step(params, state, opt_state, x, y, hp, rng):
+            if axis is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            x = self.policy.cast_to_compute(x)
+
+            # --- mixup / cutmix (on device, soft targets) -------------
+            if cfg.mixup_alpha > 0 or cfg.cutmix_alpha > 0:
+                rng, k = jax.random.split(rng)
+                if cfg.mixup_alpha > 0:
+                    x, y = mixup_batch(k, x, y, self.num_classes,
+                                       cfg.mixup_alpha)
+                else:
+                    x, y = cutmix_batch(k, x, y, self.num_classes,
+                                        cfg.cutmix_alpha)
+
+            # --- micro-batched forward/backward with grad accum -------
+            chunks = cfg.chunk_batch
+            b = x.shape[0]
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            if chunks > 1:
+                xc = x.reshape(chunks, b // chunks, *x.shape[1:])
+                yc = y.reshape(chunks, b // chunks, *y.shape[1:])
+                grads = None
+                loss_sum = 0.0
+                c1 = c5 = 0.0
+                for i in range(chunks):
+                    rng, k = jax.random.split(rng)
+                    (loss, (state, logits)), g = grad_fn(
+                        params, state, xc[i], yc[i], k, axis)
+                    grads = g if grads is None else jax.tree_util.tree_map(
+                        jnp.add, grads, g)
+                    loss_sum = loss_sum + loss
+                    cc1, cc5 = correct_topk(logits, yc[i], (1, 5))
+                    c1, c5 = c1 + cc1, c5 + cc5
+                grads = jax.tree_util.tree_map(lambda g_: g_ / chunks, grads)
+                loss = loss_sum / chunks
+            else:
+                rng, k = jax.random.split(rng)
+                (loss, (state, logits)), grads = grad_fn(
+                    params, state, x, y, k, axis)
+                c1, c5 = correct_topk(logits, y, (1, 5))
+
+            # --- loss-scale unwind, all-reduce, clip ------------------
+            grads = jax.tree_util.tree_map(
+                lambda g: g / hp["loss_scale"], grads)
+            if axis is not None:
+                grads = jax.lax.pmean(grads, axis)
+                # running BN stats averaged across replicas (per-replica
+                # normalization is preserved — "ghost batch norm")
+                state = jax.lax.pmean(state, axis)
+                loss = jax.lax.pmean(loss, axis)
+                c1 = jax.lax.psum(c1, axis)
+                c5 = jax.lax.psum(c5, axis)
+
+            # --- adaptive grad-norm for batch augmentation ------------
+            if cfg.adapt_grad_norm and cfg.duplicates > 1:
+                # "Augment your batch" (CVPR'20): rescale the aggregated
+                # gradient to the norm a single duplicate would produce.
+                sub = b // cfg.duplicates
+                rng, k = jax.random.split(rng)
+                (_, _), sub_grads = grad_fn(
+                    params, state, x[:sub], y[:sub], k, axis)
+                target_norm = global_norm(sub_grads)
+                cur_norm = global_norm(grads)
+                scale = target_norm / jnp.maximum(cur_norm, 1e-12)
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+            grads, gnorm = clip_by_global_norm(grads, hp["grad_clip"])
+            params, opt_state = update_fn(params, grads, opt_state, hp)
+            metrics = {"loss": loss, "correct1": c1, "correct5": c5,
+                       "grad_norm": gnorm}
+            return params, state, opt_state, metrics
+
+        if self.mesh is not None:
+            step = _shard_map_fn(
+                step, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(axis), P(axis), P(), P()),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            )
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def _make_eval_step(self):
+        cfg = self.cfg
+        axis = self.data_axis
+
+        def step(params, state, x, y):
+            x = self.policy.cast_to_compute(x)
+            ctx = Context(train=False, policy=self.policy, impl=cfg.impl)
+            logits, _ = self.model(params, state, x, ctx)
+            n = x.shape[0]
+            if cfg.duplicates > 1 and cfg.average_output:
+                d = cfg.duplicates
+                logits = logits.astype(jnp.float32)
+                logits = logits.reshape(n // d, d, -1).mean(axis=1)
+                y = y.reshape(n // d, d)[:, 0]
+                n = n // d
+            criterion = CrossEntropyLoss(smooth_eps=0.0)
+            loss = criterion(logits, y)
+            c1, c5 = correct_topk(logits, y, (1, 5))
+            count = jnp.float32(n)
+            if axis is not None:
+                loss = jax.lax.pmean(loss, axis)
+                c1 = jax.lax.psum(c1, axis)
+                c5 = jax.lax.psum(c5, axis)
+                count = jax.lax.psum(count, axis)
+            return {"loss": loss, "correct1": c1, "correct5": c5,
+                    "count": count}
+
+        if self.mesh is not None:
+            step = _shard_map_fn(
+                step, mesh=self.mesh,
+                in_specs=(P(), P(), P(axis), P(axis)),
+                out_specs=P(),
+                check_vma=False,
+            )
+        return jax.jit(step)
+
+    def _get_train_step(self):
+        name = self.optim.optimizer_name
+        if name not in self._step_fns:
+            self._update_fn = make_update_fn(name, self._params_template,
+                                             self._wd_mask)
+            self._step_fns[name] = self._make_train_step(name)
+        return self._step_fns[name]
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def initialize(self, params, state, wd_mask_tree=None):
+        """Register model arrays; returns optimizer state."""
+        self._params_template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+        from convnet_tpu.utils.param_filter import wd_mask as default_mask
+        self._wd_mask = (wd_mask_tree if wd_mask_tree is not None
+                         else default_mask(params))
+        opt_state = self.optim.init_state(params)
+        if self.mesh is not None:
+            from convnet_tpu.parallel.mesh import replicate
+            params = replicate(params, self.mesh)
+            state = replicate(state, self.mesh)
+            opt_state = replicate(opt_state, self.mesh)
+        return params, state, opt_state
+
+    def _hp_device(self, hp: Dict[str, float]):
+        return {k: jnp.float32(v) for k, v in hp.items()}
+
+    def _shard(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from convnet_tpu.parallel.mesh import shard_batch
+        return tuple(shard_batch(a, self.mesh) for a in arrays)
+
+    # ------------------------------------------------------------------
+    # epoch loops (host side)
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, loader, params, state, opt_state, epoch: int,
+                    steps_per_epoch: Optional[int] = None):
+        """One training epoch. Returns (params, state, opt_state, results)."""
+        self.epoch = epoch
+        meters = {k: AverageMeter() for k in
+                  ("loss", "grad_norm", "data_time", "step_time")}
+        step_times = []
+        acc = AccuracyMeter()
+        pending = collections.deque()
+        spe = steps_per_epoch or getattr(loader, "__len__", lambda: None)()
+
+        t_last = time.perf_counter()
+        for i, (x, y) in enumerate(loader):
+            t_data = time.perf_counter()
+            frac_epoch = epoch + (i / spe if spe else 0)
+            structural = self.optim.update(frac_epoch, self.training_steps)
+            if structural:
+                log.info("optimizer switched to %s — re-jitting",
+                         self.optim.optimizer_name)
+            hp = self._hp_device(self.optim.hyperparams())
+            self.rng, step_rng = jax.random.split(self.rng)
+            bsz = x.shape[0]
+            x, y = self._shard(jnp.asarray(x), jnp.asarray(y))
+            step_fn = self._get_train_step()
+            params, state, opt_state, metrics = step_fn(
+                params, state, opt_state, x, y, hp, step_rng)
+            self.training_steps += 1
+            t_step = time.perf_counter()
+
+            pending.append((metrics, bsz, t_data - t_last, t_step - t_data))
+            # lazily drain metrics to avoid blocking the device queue
+            while len(pending) > 2 or (spe and i == spe - 1 and pending):
+                m, n, dt, st = pending.popleft()
+                meters["loss"].update(float(m["loss"]), n)
+                meters["grad_norm"].update(float(m["grad_norm"]))
+                meters["data_time"].update(dt)
+                meters["step_time"].update(st)
+                step_times.append(st)
+                acc.update((float(m["correct1"]), float(m["correct5"])), n)
+            if self.cfg.print_freq and i % self.cfg.print_freq == 0:
+                log.info(
+                    "epoch %d step %d/%s loss %.4f prec1 %.2f prec5 %.2f "
+                    "lr %.4g step_time %.3fs data_time %.3fs",
+                    epoch, i, spe or "?", meters["loss"].avg, acc.value(1),
+                    acc.value(5), float(hp["lr"]), meters["step_time"].avg,
+                    meters["data_time"].avg)
+            t_last = time.perf_counter()
+
+        while pending:
+            m, n, dt, st = pending.popleft()
+            meters["loss"].update(float(m["loss"]), n)
+            meters["grad_norm"].update(float(m["grad_norm"]))
+            meters["data_time"].update(dt)
+            meters["step_time"].update(st)
+            step_times.append(st)
+            acc.update((float(m["correct1"]), float(m["correct5"])), n)
+
+        results = {"loss": meters["loss"].avg, "prec1": acc.value(1),
+                   "prec5": acc.value(5),
+                   "step_time": meters["step_time"].avg,
+                   # p50 over post-warmup steps (first step pays compile)
+                   "step_time_p50": float(np.median(step_times[1:] or step_times
+                                                    or [0.0])),
+                   "data_time": meters["data_time"].avg,
+                   "grad_norm": meters["grad_norm"].avg}
+        return params, state, opt_state, results
+
+    def validate(self, loader, params, state):
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_step()
+        loss_m = AverageMeter()
+        acc = AccuracyMeter()
+        for x, y in loader:
+            x, y = self._shard(jnp.asarray(x), jnp.asarray(y))
+            m = self._eval_fn(params, state, x, y)
+            n = int(float(m["count"]))
+            loss_m.update(float(m["loss"]), n)
+            acc.update((float(m["correct1"]), float(m["correct5"])), n)
+        return {"loss": loss_m.avg, "prec1": acc.value(1),
+                "prec5": acc.value(5)}
+
+    # ------------------------------------------------------------------
+    # BN calibration (train.py:~350–390 calibrate_bn equivalent)
+    # ------------------------------------------------------------------
+
+    def calibrate_bn(self, loader, params, state, num_steps: int = 100):
+        """Re-estimate BN running statistics over ``loader`` (used after
+        weight averaging / absorb experiments). Recovers exact batch
+        moments from the EMA update and accumulates a plain average."""
+
+        @jax.jit
+        def batch_stats(params, state, x):
+            ctx = Context(train=True, rng=jax.random.PRNGKey(0),
+                          policy=self.policy, impl=self.cfg.impl)
+            _, new_state = self.model(params, state, x, ctx)
+            return new_state
+
+        def recover(old, new, momentum=0.1):
+            # new = (1-m)*old + m*batch  →  batch = (new - (1-m)*old)/m
+            return jax.tree_util.tree_map(
+                lambda n_, o_: (n_ - (1 - momentum) * o_) / momentum, new, old)
+
+        avg = None
+        count = 0
+        for i, (x, y) in enumerate(loader):
+            if i >= num_steps:
+                break
+            x = self.policy.cast_to_compute(jnp.asarray(x))
+            new_state = batch_stats(params, state, x)
+            batch = recover(state, new_state)
+            if avg is None:
+                avg = batch
+            else:
+                avg = jax.tree_util.tree_map(
+                    lambda a, b: a + (b - a) / (count + 1), avg, batch)
+            count += 1
+        return avg if avg is not None else state
