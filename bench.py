@@ -1,0 +1,82 @@
+"""Benchmark: ResNet-50 ImageNet-style training throughput (img/s/chip).
+
+Prints ONE JSON line:
+    {"metric": "resnet50_train_images_per_sec_per_chip", "value": N,
+     "unit": "images/sec/chip", "vs_baseline": R, ...}
+
+Baseline for ``vs_baseline``: the reference (eladhoffer/convNet.pytorch)
+publishes no throughput numbers (BASELINE.md); we compare against the
+community-standard single-V100 mixed-precision ResNet-50 training
+throughput of ~410 img/s that the reference's stack achieves on its
+documented hardware (V100-class GPUs, SURVEY.md §6).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_IMG_PER_SEC = 410.0  # V100 fp16 ResNet-50 train (reference's HW class)
+
+
+def main():
+    from convnet_tpu import models
+    from convnet_tpu.regimes.optim import OptimRegime
+    from convnet_tpu.train.trainer import Trainer, TrainerConfig
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    # Bench config: bf16 ResNet-50, global batch sized for one chip.
+    batch = 256 if on_tpu else 16
+    image = 224 if on_tpu else 64
+    steps = 30 if on_tpu else 3
+
+    model = models.build("resnet", depth=50)
+    optim = OptimRegime(model.regime)
+    trainer = Trainer(model, optim, num_classes=1000,
+                      config=TrainerConfig(dtype="bf16", print_freq=0))
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state, opt_state = trainer.initialize(params, state)
+
+    x = jnp.ones((batch, image, image, 3), jnp.bfloat16)
+    y = jnp.zeros((batch,), jnp.int32)
+    optim.update(0, 0)
+    hp = trainer._hp_device(optim.hyperparams())
+    step_fn = trainer._get_train_step()
+    rng = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    params, state, opt_state, m = step_fn(params, state, opt_state, x, y, hp, rng)
+    jax.block_until_ready(m["loss"])
+    for _ in range(3):
+        params, state, opt_state, m = step_fn(params, state, opt_state, x, y, hp, rng)
+    jax.block_until_ready(m["loss"])
+
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        params, state, opt_state, m = step_fn(params, state, opt_state, x, y, hp, rng)
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+
+    times.sort()
+    p50 = times[len(times) // 2]
+    img_per_sec = batch / p50
+    result = {
+        "metric": "resnet50_train_images_per_sec_per_chip",
+        "value": round(img_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 3),
+        "step_time_p50_ms": round(p50 * 1e3, 2),
+        "batch": batch,
+        "image_size": image,
+        "dtype": "bf16",
+        "platform": platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

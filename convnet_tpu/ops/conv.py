@@ -47,11 +47,16 @@ def conv2d(
     padding: Union[int, str, Sequence[int]] = 0,
     dilation: Union[int, Sequence[int]] = 1,
     groups: int = 1,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
-    """NHWC conv. Output dtype == x.dtype; accumulation in ``accum_dtype``."""
+    """NHWC conv. Output dtype == x.dtype.
+
+    No explicit ``preferred_element_type``: the TPU MXU accumulates
+    bf16×bf16 products in fp32 internally regardless, and passing an
+    accumulation dtype different from the input dtype breaks the conv
+    transpose rule on the axon backend (verified 2026-08-16).
+    """
     kh, kw = w.shape[0], w.shape[1]
-    out = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=_pair(stride),
@@ -59,9 +64,7 @@ def conv2d(
         rhs_dilation=_pair(dilation),
         feature_group_count=groups,
         dimension_numbers=DIMSPEC,
-        preferred_element_type=accum_dtype,
     )
-    return out.astype(x.dtype)
 
 
 def conv2d_transpose_output_shape(in_size, kernel, stride, padding):

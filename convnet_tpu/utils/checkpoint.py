@@ -1,0 +1,100 @@
+"""Checkpoint save/restore for pytree training state.
+
+Rebuild of the reference's ``save_checkpoint`` (utils/log.py:~260–300
+approx.): a checkpoint directory holds ``checkpoint.npz`` (+
+``model_best.npz`` copy when a new best arrives, optional per-epoch
+``checkpoint_epoch_N.npz`` with ``save_all``). Arrays are stored as a
+flat ``path/to/leaf`` → ndarray mapping (np.savez), metadata (epoch,
+model name, config, best_prec1) as JSON inside the archive. Schedules
+are NOT checkpointed — regimes recompute from (epoch, step)
+(SURVEY.md §5.4), which keeps resume logic stateless.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+_SEP = "/"
+
+
+def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}{_SEP}"))
+    else:
+        out[prefix.rstrip(_SEP)] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]):
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(_SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_checkpoint(ckpt: Dict[str, Any], is_best: bool, path: str = ".",
+                    filename: str = "checkpoint.npz", save_all: bool = False):
+    """``ckpt`` = {'epoch', 'model', 'config', 'params', 'state',
+    'opt_state', 'best_prec1', 'training_steps'} — array trees are
+    flattened; scalars/strings go into a JSON meta blob."""
+    os.makedirs(path, exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+    meta: Dict[str, Any] = {}
+    for key, value in ckpt.items():
+        if key in ("params", "state", "opt_state"):
+            host = jax.device_get(value)
+            arrays.update(flatten_tree(host, f"{key}{_SEP}"))
+        else:
+            meta[key] = value
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta, default=str).encode(), dtype=np.uint8)
+
+    target = os.path.join(path, filename)
+    tmp = target + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, target)  # atomic on the same filesystem
+    if is_best:
+        shutil.copyfile(target, os.path.join(path, "model_best.npz"))
+    if save_all and "epoch" in meta:
+        shutil.copyfile(target, os.path.join(
+            path, f"checkpoint_epoch_{meta['epoch']}.npz"))
+    return target
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Accepts a file or a directory (looks for checkpoint.npz)."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "checkpoint.npz")
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode()) if "__meta__" in data else {}
+        flat: Dict[str, Dict[str, np.ndarray]] = {}
+        for key in data.files:
+            if key == "__meta__":
+                continue
+            root, rest = key.split(_SEP, 1)
+            flat.setdefault(root, {})[rest] = data[key]
+    ckpt = dict(meta)
+    for root, leaves in flat.items():
+        ckpt[root] = unflatten_tree(leaves)
+    return ckpt
+
+
+def tree_dtype_cast_like(tree, template):
+    """Cast loaded numpy arrays to the dtypes of a freshly-initialized
+    template tree (e.g. bf16 params round-trip through npz as-is, but
+    guards against dtype drift)."""
+    return jax.tree_util.tree_map(
+        lambda loaded, ref: np.asarray(loaded, dtype=ref.dtype), tree, template)
