@@ -1,0 +1,276 @@
+"""CLI driver — the reference's ``main.py`` surface, TPU-native inside.
+
+Usage mirrors the reference (main.py:~30–140 approx., SURVEY.md §5.6):
+
+    python main.py --model resnet --dataset imagenet \
+        --model-config "{'depth': 50}" -b 256 --epochs 90
+
+Flow (call stack §3.1): parse args → seeds → (multi-host init) → build
+model from zoo (+ its embedded regime) → criterion/OptimRegime/Trainer →
+train & eval DataRegimes → epoch loop with checkpoint/resume and
+results logging.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import logging
+import os
+import time
+from datetime import datetime
+
+import jax
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="convnet_tpu training")
+    # data
+    p.add_argument("--dataset", default="imagenet")
+    p.add_argument("--datasets-dir", default=os.environ.get(
+        "CONVNET_TPU_DATA", os.path.expanduser("~/datasets")))
+    p.add_argument("--input-size", type=int, default=None)
+    p.add_argument("-j", "--workers", type=int, default=8)
+    p.add_argument("--autoaugment", action="store_true")
+    p.add_argument("--cutout", action="store_true")
+    p.add_argument("--duplicates", type=int, default=1,
+                   help="batch augmentation: times each sample appears")
+    # model
+    p.add_argument("--model", default="resnet")
+    p.add_argument("--model-config", default="",
+                   help="python-literal dict merged into model factory kwargs")
+    # training
+    p.add_argument("-b", "--batch-size", type=int, default=256)
+    p.add_argument("--eval-batch-size", type=int, default=-1)
+    p.add_argument("--epochs", type=int, default=90)
+    p.add_argument("--start-epoch", type=int, default=0)
+    p.add_argument("--optimizer", default=None,
+                   help="override the model regime's optimizer")
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the model regime's base lr")
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--mixup", type=float, default=0.0, help="mixup alpha")
+    p.add_argument("--cutmix", type=float, default=0.0, help="cutmix alpha")
+    p.add_argument("--chunk-batch", type=int, default=1,
+                   help="micro-batches per step (gradient accumulation)")
+    p.add_argument("--grad-clip", type=float, default=-1.0)
+    p.add_argument("--adapt-grad-norm", type=int, default=None)
+    p.add_argument("--dtype", default="float32",
+                   help="compute dtype policy: float32|bf16|half")
+    p.add_argument("--loss-scale", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=123)
+    # parallelism
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="data-parallel degree (default: all local devices)")
+    p.add_argument("--sync-bn", action="store_true",
+                   help="cross-replica BatchNorm statistics over ICI")
+    p.add_argument("--dist-init", default=None,
+                   help="multi-host coordinator address host:port")
+    p.add_argument("--dist-rank", type=int, default=0)
+    p.add_argument("--dist-world-size", type=int, default=1)
+    p.add_argument("--impl", default="xla", choices=["xla", "pallas"],
+                   help="hot-path kernel implementation")
+    # bookkeeping
+    p.add_argument("--results-dir", default="./results")
+    p.add_argument("--save", default="",
+                   help="experiment save name (default: timestamp)")
+    p.add_argument("--resume", default="", help="checkpoint path to resume")
+    p.add_argument("--evaluate", default="",
+                   help="evaluate checkpoint path and exit")
+    p.add_argument("--calibrate-bn", action="store_true")
+    p.add_argument("--absorb-bn", action="store_true",
+                   help="fold BN into convs before evaluation")
+    p.add_argument("--print-freq", type=int, default=50)
+    p.add_argument("--save-all", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of epoch 0")
+    return p
+
+
+def main(argv=None):
+    from convnet_tpu import models
+    from convnet_tpu.core.module import param_count
+    from convnet_tpu.data.data_regime import DataRegime
+    from convnet_tpu.parallel.mesh import make_mesh
+    from convnet_tpu.regimes.optim import OptimRegime
+    from convnet_tpu.train.trainer import Trainer, TrainerConfig
+    from convnet_tpu.utils.checkpoint import (
+        save_checkpoint, load_checkpoint, tree_dtype_cast_like)
+    from convnet_tpu.utils.log import (
+        setup_logging, ResultsLog, export_args_namespace)
+    from convnet_tpu.utils.misc import set_global_seeds
+
+    args = build_parser().parse_args(argv)
+
+    save_name = args.save or datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    save_path = os.path.join(args.results_dir, save_name)
+    os.makedirs(save_path, exist_ok=True)
+    setup_logging(os.path.join(save_path, "log.txt"), resume=bool(args.resume))
+    export_args_namespace(args, os.path.join(save_path, "args.json"))
+    log.info("saving to %s", save_path)
+
+    if args.dist_init:
+        coordinator = args.dist_init.replace("tcp://", "")
+        jax.distributed.initialize(coordinator, args.dist_world_size,
+                                   args.dist_rank)
+        log.info("multi-host: process %d/%d, %d global devices",
+                 jax.process_index(), jax.process_count(),
+                 len(jax.devices()))
+
+    set_global_seeds(args.seed)
+
+    # ---- model (embedded regime) ------------------------------------
+    model_config = ast.literal_eval(args.model_config) if args.model_config else {}
+    model_config.setdefault("dataset", args.dataset)
+    if args.dataset.startswith("synthetic") and "dataset" in model_config:
+        model_config["dataset"] = ("cifar10" if "imagenet" not in args.dataset
+                                   else "imagenet")
+    model = models.build(args.model, **model_config)
+    log.info("created model %s (%s), config %s", args.model,
+             type(model).__name__, model_config)
+
+    regime = list(getattr(model, "regime", [{"epoch": 0, "optimizer": "SGD",
+                                             "lr": 0.1, "momentum": 0.9}]))
+    if args.optimizer or args.lr is not None:
+        override = {}
+        if args.optimizer:
+            override["optimizer"] = args.optimizer
+        if args.lr is not None:
+            override["lr"] = args.lr
+        regime = [{**regime[0], **override}] + regime[1:]
+    optim = OptimRegime(regime)
+
+    num_classes = {"cifar10": 10, "cifar100": 100, "mnist": 10,
+                   "imagenet": 1000}.get(args.dataset, None)
+    if num_classes is None:
+        num_classes = model_config.get("num_classes", 10 if "imagenet" not in
+                                       args.dataset else 1000)
+
+    # ---- mesh / trainer ---------------------------------------------
+    devices = jax.devices()
+    n_dev = args.num_devices or len(devices)
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    log.info("devices: %d (%s), mesh=%s", n_dev, devices[0].platform,
+             mesh.shape if mesh else None)
+
+    cfg = TrainerConfig(
+        dtype=args.dtype, impl=args.impl, mixup_alpha=args.mixup,
+        cutmix_alpha=args.cutmix, label_smoothing=args.label_smoothing,
+        grad_clip=args.grad_clip, loss_scale=args.loss_scale,
+        chunk_batch=args.chunk_batch, duplicates=args.duplicates,
+        adapt_grad_norm=args.adapt_grad_norm, sync_bn=args.sync_bn,
+        average_output=args.duplicates > 1, print_freq=args.print_freq)
+    trainer = Trainer(model, optim, num_classes, cfg, mesh=mesh,
+                      seed=args.seed)
+
+    params, state = model.init(jax.random.PRNGKey(args.seed), trainer.policy)
+    log.info("number of parameters: %d", param_count(params))
+
+    best_prec1 = 0.0
+    start_epoch = args.start_epoch
+    training_steps = 0
+    if args.resume or args.evaluate:
+        ckpt_path = args.resume or args.evaluate
+        ckpt = load_checkpoint(ckpt_path)
+        params = tree_dtype_cast_like(ckpt["params"], params)
+        state = tree_dtype_cast_like(ckpt["state"], state)
+        best_prec1 = float(ckpt.get("best_prec1", 0.0))
+        start_epoch = int(ckpt.get("epoch", -1)) + 1
+        training_steps = int(ckpt.get("training_steps", 0))
+        log.info("loaded checkpoint '%s' (epoch %s)", ckpt_path,
+                 ckpt.get("epoch"))
+
+    params, state, opt_state = trainer.initialize(params, state)
+    if args.resume:
+        ckpt_opt = load_checkpoint(args.resume).get("opt_state")
+        if ckpt_opt is not None:
+            opt_state = tree_dtype_cast_like(ckpt_opt, opt_state)
+            if mesh is not None:
+                from convnet_tpu.parallel.mesh import replicate
+                opt_state = replicate(opt_state, mesh)
+    trainer.training_steps = training_steps
+
+    # ---- data regimes (model may author its own) --------------------
+    defaults = {
+        "name": args.dataset, "split": "train",
+        "batch_size": args.batch_size, "num_workers": args.workers,
+        "data_dir": args.datasets_dir, "duplicates": args.duplicates,
+        "autoaugment": args.autoaugment,
+        "cutout": {"length": 8} if args.cutout else None,
+    }
+    if args.input_size:
+        defaults["input_size"] = args.input_size
+    train_data = DataRegime(getattr(model, "data_regime", None),
+                            defaults=defaults, seed=args.seed,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
+    eval_bs = args.eval_batch_size if args.eval_batch_size > 0 else args.batch_size
+    eval_defaults = {**defaults, "split": "val", "augment": False,
+                     "batch_size": eval_bs, "duplicates":
+                     args.duplicates if cfg.average_output else 1}
+    val_data = DataRegime(getattr(model, "data_eval_regime", None),
+                          defaults=eval_defaults, seed=args.seed,
+                          process_index=jax.process_index(),
+                          process_count=jax.process_count())
+
+    # ---- BN folding / evaluate-only ---------------------------------
+    if args.absorb_bn:
+        from convnet_tpu.utils.absorb_bn import search_absorb_bn
+        params, state = search_absorb_bn(params, state)
+        log.info("folded BatchNorm into conv weights")
+
+    if args.evaluate:
+        if args.calibrate_bn:
+            state = trainer.calibrate_bn(train_data.get_loader(), params, state)
+        results = trainer.validate(val_data.get_loader(), params, state)
+        log.info("evaluate: loss %.4f prec1 %.3f prec5 %.3f",
+                 results["loss"], results["prec1"], results["prec5"])
+        return results
+
+    # ---- epoch loop (call stack §3.1 outer loop) --------------------
+    results = ResultsLog(save_path, title=f"{args.model} on {args.dataset}")
+    for epoch in range(start_epoch, args.epochs):
+        train_data.set_epoch(epoch, trainer.training_steps)
+        if args.profile and epoch == start_epoch:
+            jax.profiler.start_trace(os.path.join(save_path, "profile"))
+        params, state, opt_state, train_res = trainer.train_epoch(
+            train_data.get_loader(), params, state, opt_state, epoch)
+        if args.profile and epoch == start_epoch:
+            jax.profiler.stop_trace()
+
+        val_data.set_epoch(epoch)
+        val_res = trainer.validate(val_data.get_loader(), params, state)
+
+        is_best = val_res["prec1"] > best_prec1
+        best_prec1 = max(val_res["prec1"], best_prec1)
+        if jax.process_index() == 0:
+            save_checkpoint(
+                {"epoch": epoch, "model": args.model, "config": model_config,
+                 "params": params, "state": state, "opt_state": opt_state,
+                 "best_prec1": best_prec1,
+                 "training_steps": trainer.training_steps},
+                is_best, save_path, save_all=args.save_all)
+
+        log.info("epoch %d: train loss %.4f prec1 %.2f | val loss %.4f "
+                 "prec1 %.2f prec5 %.2f | best %.2f | step p50 %.1f ms",
+                 epoch, train_res["loss"], train_res["prec1"],
+                 val_res["loss"], val_res["prec1"], val_res["prec5"],
+                 best_prec1, 1e3 * train_res["step_time_p50"])
+        results.add(epoch=epoch,
+                    train_loss=train_res["loss"], val_loss=val_res["loss"],
+                    train_prec1=train_res["prec1"], val_prec1=val_res["prec1"],
+                    train_prec5=train_res["prec5"], val_prec5=val_res["prec5"],
+                    step_time_p50=train_res["step_time_p50"],
+                    data_time=train_res["data_time"],
+                    lr=optim.hyperparams()["lr"])
+        results.plot("epoch", ["train_loss", "val_loss"], "loss", "loss")
+        results.plot("epoch", ["train_prec1", "val_prec1"], "top-1", "%")
+        results.save()
+    return {"best_prec1": best_prec1}
+
+
+if __name__ == "__main__":
+    main()

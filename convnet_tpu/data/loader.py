@@ -1,0 +1,174 @@
+"""Input pipeline: device-resident batcher + threaded host loader.
+
+TPU-native replacement for the reference's
+``torch.utils.data.DataLoader(num_workers=...)`` worker processes
+(data.py:~200–260 approx., SURVEY.md §2.1 "DataLoader worker
+processes"). Two paths:
+
+- ``ArrayBatcher`` — for in-memory datasets (CIFAR/MNIST/synthetic):
+  the WHOLE dataset lives in device memory (uint8); each batch is a
+  device-side gather + the jitted augmentation fn. Zero per-step
+  host↔device traffic, async dispatch gives free double-buffering.
+
+- ``DataLoader`` — for decode-heavy datasets (ImageFolder / indexed
+  tar): a thread pool decodes+host-transforms samples (PIL releases
+  the GIL in decode/resize), an assembler thread keeps a bounded queue
+  of ready uint8 batches, and the consumer applies the jitted device
+  transform. Supports shuffling (epoch-seeded, deterministic),
+  drop_last, duplicates (batch augmentation — K host-transform draws
+  per sample, packed contiguously so eval can average over them), and
+  per-host sharding for multi-host runs (DistributedSampler
+  equivalent: each process reads its contiguous shard of the epoch
+  permutation).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_tpu.data.preprocess import Transform
+
+
+def _epoch_permutation(n, epoch, seed, shuffle):
+    if not shuffle:
+        return np.arange(n)
+    rng = np.random.default_rng(np.uint32([seed, epoch]))
+    return rng.permutation(n)
+
+
+class ArrayBatcher:
+    """Device-resident batching for ArrayDataset-style datasets."""
+
+    def __init__(self, dataset, transform: Transform, batch_size: int,
+                 shuffle=True, drop_last=True, seed=0,
+                 process_index: int = 0, process_count: int = 1):
+        self.dataset = dataset
+        self.transform = transform
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.process_index = process_index
+        self.process_count = process_count
+        self._data_dev = jax.device_put(np.asarray(dataset.data))
+        self._labels = np.asarray(dataset.labels)
+        self._gather_augment = jax.jit(
+            lambda data, idx, key: transform.device(
+                key, jnp.take(data, idx, axis=0)))
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.process_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        perm = _epoch_permutation(n, self.epoch, self.seed, self.shuffle)
+        shard = perm[self.process_index::self.process_count]
+        num = len(self)
+        dup = self.transform.duplicates
+        key = jax.random.PRNGKey(np.uint32([self.seed, self.epoch]).sum())
+        for b in range(num):
+            idx = shard[b * self.batch_size:(b + 1) * self.batch_size]
+            if dup > 1:
+                idx = np.repeat(idx, dup)
+            key, k = jax.random.split(key)
+            x = self._gather_augment(self._data_dev, jnp.asarray(idx), k)
+            y = jnp.asarray(np.repeat(self._labels[idx[::dup]], dup)
+                            if dup > 1 else self._labels[idx])
+            yield x, y
+
+
+class DataLoader:
+    """Threaded host pipeline for decode-heavy datasets."""
+
+    def __init__(self, dataset, transform: Transform, batch_size: int,
+                 shuffle=True, drop_last=True, num_workers: int = 8, seed=0,
+                 prefetch: int = 3, device_transform: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        self.dataset = dataset
+        self.transform = transform
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.seed = seed
+        self.prefetch = prefetch
+        self.device_transform = device_transform
+        self.epoch = 0
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.process_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_sample(self, args):
+        idx, sample_seed = args
+        import random as _random
+        rng = _random.Random(sample_seed)
+        sample, label = self.dataset[idx]
+        arr = self.transform.host(sample, rng)
+        return arr, label
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        perm = _epoch_permutation(n, self.epoch, self.seed, self.shuffle)
+        shard = perm[self.process_index::self.process_count]
+        num_batches = len(self)
+        dup = self.transform.duplicates
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        stop = threading.Event()
+
+        def assemble():
+            try:
+                for b in range(num_batches):
+                    if stop.is_set():
+                        return
+                    idx = shard[b * self.batch_size:(b + 1) * self.batch_size]
+                    tasks = []
+                    for i in idx:
+                        for d in range(dup):
+                            tasks.append((int(i),
+                                          hash((self.seed, self.epoch, int(i), d))
+                                          & 0x7FFFFFFF))
+                    results = list(pool.map(self._load_sample, tasks))
+                    xs = np.stack([r[0] for r in results])
+                    ys = np.asarray([r[1] for r in results], np.int32)
+                    out_q.put((xs, ys))
+                out_q.put(None)
+            except Exception as e:  # surface loader errors to consumer
+                out_q.put(e)
+
+        thread = threading.Thread(target=assemble, daemon=True)
+        thread.start()
+        key = jax.random.PRNGKey(np.uint32([self.seed, self.epoch]).sum())
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                xs, ys = item
+                if self.device_transform:
+                    key, k = jax.random.split(key)
+                    xs = self.transform.device(k, jnp.asarray(xs))
+                yield xs, ys
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)
