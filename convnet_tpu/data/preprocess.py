@@ -137,6 +137,10 @@ def get_transform(transform_name: str = "imagenet",
 
         def device_fn(key, batch):
             x = T.to_float(batch)
+            if x.shape[1] != size or x.shape[2] != size:
+                # progressive-resizing regimes (Mix & Match): bring the
+                # native-resolution batch to the scheduled input size
+                x = T.resize(x, size)
             if augment:
                 k1, k2, k3 = jax.random.split(key, 3)
                 if name != "mnist":

@@ -52,12 +52,21 @@ def save_checkpoint(ckpt: Dict[str, Any], is_best: bool, path: str = ".",
     os.makedirs(path, exist_ok=True)
     arrays: Dict[str, np.ndarray] = {}
     meta: Dict[str, Any] = {}
+    extended_dtypes: Dict[str, str] = {}
     for key, value in ckpt.items():
         if key in ("params", "state", "opt_state"):
             host = jax.device_get(value)
             arrays.update(flatten_tree(host, f"{key}{_SEP}"))
         else:
             meta[key] = value
+    # npz can't store ml_dtypes (bfloat16, fp8) — view as raw uint bits
+    # and record the true dtype for reload.
+    for key, arr in list(arrays.items()):
+        if arr.dtype.kind not in "biufc":
+            extended_dtypes[key] = str(arr.dtype)
+            arrays[key] = arr.view(np.uint16 if arr.dtype.itemsize == 2
+                                   else np.uint8)
+    meta["__extended_dtypes__"] = extended_dtypes
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta, default=str).encode(), dtype=np.uint8)
 
@@ -80,12 +89,20 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         path = os.path.join(path, "checkpoint.npz")
     with np.load(path, allow_pickle=False) as data:
         meta = json.loads(bytes(data["__meta__"]).decode()) if "__meta__" in data else {}
+        extended = meta.pop("__extended_dtypes__", {})
         flat: Dict[str, Dict[str, np.ndarray]] = {}
         for key in data.files:
             if key == "__meta__":
                 continue
+            arr = data[key]
+            if key in extended:
+                import ml_dtypes
+                name = extended[key]
+                dt = (np.dtype(getattr(ml_dtypes, name))
+                      if hasattr(ml_dtypes, name) else np.dtype(name))
+                arr = arr.view(dt)
             root, rest = key.split(_SEP, 1)
-            flat.setdefault(root, {})[rest] = data[key]
+            flat.setdefault(root, {})[rest] = arr
     ckpt = dict(meta)
     for root, leaves in flat.items():
         ckpt[root] = unflatten_tree(leaves)

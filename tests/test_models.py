@@ -1,0 +1,145 @@
+"""Model zoo construction + forward shape/dtype tests, plus
+block-level parity vs a hand-built torch equivalent (SURVEY.md §4
+'Model parity' — torchvision is unavailable here, so parity is checked
+at the ConvBN-block level with copied weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from convnet_tpu import models
+from convnet_tpu.core.module import Context, param_count
+from convnet_tpu.models.resnet import ConvBN
+
+EXPECTED_PARAMS = {
+    # canonical counts
+    ("resnet", frozenset({("depth", 50)})): 25_557_032,
+    ("resnet", frozenset({("depth", 18)})): 11_689_512,
+    ("resnet", frozenset({("dataset", "cifar10"), ("depth", 20)})): 272_474,
+    ("resnet", frozenset({("dataset", "cifar10"), ("depth", 56)})): 855_770,
+    ("mobilenet_v2", frozenset()): 3_504_872,
+    # AlexNet-OWT with BatchNorm: canonical bias-less convs + BN affine
+    # (torchvision's BN-less AlexNet is 61,100,840; +2304 BN affine
+    # −1152 conv biases = +1152)
+    ("alexnet", frozenset()): 61_101_992,
+}
+
+
+@pytest.mark.parametrize("name,cfg,in_shape,classes", [
+    ("resnet", {"depth": 18}, (2, 64, 64, 3), 1000),
+    ("resnet", {"depth": 50}, (2, 64, 64, 3), 1000),
+    ("resnet", {"dataset": "cifar10", "depth": 20}, (2, 32, 32, 3), 10),
+    ("resnet", {"dataset": "cifar100", "depth": 20}, (2, 32, 32, 3), 100),
+    ("resnet_se", {"dataset": "cifar10", "depth": 20}, (2, 32, 32, 3), 10),
+    ("resnet_zi", {"dataset": "cifar10", "depth": 20}, (2, 32, 32, 3), 10),
+    ("mobilenet", {"width": 0.5}, (2, 64, 64, 3), 1000),
+    ("mobilenet_v2", {"width": 1.0}, (2, 64, 64, 3), 1000),
+    ("vgg", {"dataset": "cifar10", "depth": 11}, (2, 32, 32, 3), 10),
+    ("mnist", {}, (2, 28, 28, 1), 10),
+    ("densenet", {"depth": 121}, (2, 64, 64, 3), 1000),
+    ("googlenet", {}, (2, 64, 64, 3), 1000),
+])
+def test_model_forward(name, cfg, in_shape, classes):
+    model = models.build(name, **cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), in_shape)
+    y, new_state = model(params, state, x,
+                         Context(train=True, rng=jax.random.PRNGKey(2)))
+    assert y.shape == (in_shape[0], classes)
+    assert np.isfinite(np.asarray(y)).all()
+    ye, _ = model(params, state, x, Context(train=False))
+    assert ye.shape == (in_shape[0], classes)
+
+
+def test_param_counts_canonical():
+    for (name, cfg), expected in EXPECTED_PARAMS.items():
+        model = models.build(name, **dict(cfg))
+        params, _ = model.init(jax.random.PRNGKey(0))
+        assert param_count(params) == expected, (name, dict(cfg))
+
+
+def test_models_have_regimes():
+    for name in ["resnet", "mobilenet", "mobilenet_v2", "alexnet",
+                 "googlenet", "vgg", "mnist", "densenet"]:
+        cfg = {"dataset": "cifar10"} if name in ("resnet", "vgg") else {}
+        model = models.build(name, **cfg)
+        regime = model.regime
+        assert isinstance(regime, list) and regime
+        assert "optimizer" in regime[0]
+
+
+def test_zero_init_residual():
+    model = models.build("resnet_zi", dataset="cifar10", depth=20)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    # last BN gamma of each block starts at zero
+    gamma = params["layers"]["layer1"]["0"]["cb2"]["bn"]["scale"]
+    np.testing.assert_array_equal(np.asarray(gamma), 0.0)
+
+
+def test_convbn_block_parity_torch():
+    """ConvBN(3x3, stride 2) forward == torch Conv2d+BatchNorm2d+ReLU
+    with identical weights (train mode, same batch)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 8, 10, 10)).astype(np.float32)
+    w = rng.standard_normal((16, 8, 3, 3)).astype(np.float32)
+    gamma = rng.standard_normal(16).astype(np.float32)
+    beta = rng.standard_normal(16).astype(np.float32)
+
+    blk = ConvBN(8, 16, 3, 2, 1)
+    params, state = blk.init(jax.random.PRNGKey(0))
+    params["conv"]["w"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+    params["bn"]["scale"] = jnp.asarray(gamma)
+    params["bn"]["bias"] = jnp.asarray(beta)
+
+    y, _ = blk(params, state, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+               Context(train=True, rng=jax.random.PRNGKey(1)))
+
+    conv = torch.nn.Conv2d(8, 16, 3, 2, 1, bias=False)
+    bn = torch.nn.BatchNorm2d(16)
+    with torch.no_grad():
+        conv.weight.copy_(torch.tensor(w))
+        bn.weight.copy_(torch.tensor(gamma))
+        bn.bias.copy_(torch.tensor(beta))
+    bn.train()
+    yt = torch.relu(bn(conv(torch.tensor(x)))).detach().numpy()
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(y), (0, 3, 1, 2)), yt, rtol=1e-3, atol=1e-4)
+
+
+def test_se_block_gating():
+    from convnet_tpu.nn.se import SEBlock
+    se = SEBlock(8, reduction=2)
+    params, state = se.init(jax.random.PRNGKey(0))
+    x = jnp.ones((2, 4, 4, 8))
+    y, _ = se(params, state, x, Context())
+    assert y.shape == x.shape
+    # gate is sigmoid-bounded
+    ratio = np.asarray(y / x)
+    assert (ratio > 0).all() and (ratio < 1).all()
+
+
+def test_checkpoint_module_equivalence():
+    """Remat wrapper computes identical outputs and gradients."""
+    from convnet_tpu.nn.checkpoint import CheckpointModule
+    blk = ConvBN(4, 4, 3, 1, 1)
+    wrapped = CheckpointModule(blk)
+    params, state = blk.init(jax.random.PRNGKey(0))
+    wp, ws = {"module": params}, {"module": state}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ctx = Context(train=False)
+
+    def f_plain(p, x):
+        return jnp.sum(blk(p, state, x, ctx)[0])
+
+    def f_remat(p, x):
+        return jnp.sum(wrapped({"module": p}, ws, x, ctx)[0])
+
+    np.testing.assert_allclose(float(f_plain(params, x)),
+                               float(f_remat(params, x)), rtol=1e-6)
+    g1 = jax.grad(f_plain)(params, x)
+    g2 = jax.grad(f_remat)(params, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5), g1, g2)

@@ -1,0 +1,151 @@
+"""Kernel-level parity vs torch.nn.functional over shape/stride/group
+sweeps, incl. depthwise (SURVEY.md §4 'Kernel parity'). NCHW↔NHWC
+adapters live only here at the parity boundary."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from convnet_tpu import ops
+
+
+def nhwc(x_nchw):
+    return np.ascontiguousarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+
+
+def nchw(x_nhwc):
+    return np.ascontiguousarray(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def hwio(w_oihw):
+    return np.ascontiguousarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+
+
+@pytest.mark.parametrize("cin,cout,k,stride,pad,groups", [
+    (3, 16, 3, 1, 1, 1),
+    (8, 16, 1, 1, 0, 1),
+    (16, 32, 3, 2, 1, 1),
+    (16, 16, 3, 1, 1, 16),     # depthwise
+    (16, 32, 3, 1, 1, 4),      # grouped
+    (3, 8, 7, 2, 3, 1),        # stem-style
+    (4, 8, 5, 1, 2, 1),
+])
+def test_conv2d_parity(cin, cout, k, stride, pad, groups):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, cin, 12, 12)).astype(np.float32)
+    w = rng.standard_normal((cout, cin // groups, k, k)).astype(np.float32)
+    ours = ops.conv2d(jnp.asarray(nhwc(x)), jnp.asarray(hwio(w)),
+                      stride=stride, padding=pad, groups=groups)
+    theirs = F.conv2d(torch.tensor(x), torch.tensor(w), stride=stride,
+                      padding=pad, groups=groups).numpy()
+    np.testing.assert_allclose(nchw(np.asarray(ours)), theirs,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_grad_parity():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    w = rng.standard_normal((8, 4, 3, 3)).astype(np.float32)
+
+    def loss_jax(x_, w_):
+        y = ops.conv2d(x_, w_, stride=1, padding=1)
+        return jnp.sum(jnp.square(y))
+
+    gx, gw = jax.grad(loss_jax, argnums=(0, 1))(
+        jnp.asarray(nhwc(x)), jnp.asarray(hwio(w)))
+
+    xt = torch.tensor(x, requires_grad=True)
+    wt = torch.tensor(w, requires_grad=True)
+    F.conv2d(xt, wt, padding=1).pow(2).sum().backward()
+    np.testing.assert_allclose(nchw(np.asarray(gx)), xt.grad.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(gw), (3, 2, 0, 1)), wt.grad.numpy(),
+        rtol=1e-3, atol=1e-3)
+
+
+def test_batch_norm_train_parity():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 8, 6, 6)).astype(np.float32)
+    scale = rng.standard_normal(8).astype(np.float32)
+    bias = rng.standard_normal(8).astype(np.float32)
+    r_mean = np.zeros(8, np.float32)
+    r_var = np.ones(8, np.float32)
+
+    y, new_mean, new_var = ops.batch_norm_train(
+        jnp.asarray(nhwc(x)), jnp.asarray(scale), jnp.asarray(bias),
+        jnp.asarray(r_mean), jnp.asarray(r_var), momentum=0.1)
+
+    xt = torch.tensor(x)
+    rm = torch.tensor(r_mean.copy())
+    rv = torch.tensor(r_var.copy())
+    yt = F.batch_norm(xt, rm, rv, torch.tensor(scale), torch.tensor(bias),
+                      training=True, momentum=0.1)
+    np.testing.assert_allclose(nchw(np.asarray(y)), yt.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    # running-stat semantics (unbiased var in EMA) match torch
+    np.testing.assert_allclose(np.asarray(new_mean), rm.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_var), rv.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_batch_norm_eval_parity():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((4, 8, 6, 6)).astype(np.float32)
+    scale = rng.standard_normal(8).astype(np.float32)
+    bias = rng.standard_normal(8).astype(np.float32)
+    r_mean = rng.standard_normal(8).astype(np.float32)
+    r_var = np.abs(rng.standard_normal(8)).astype(np.float32) + 0.5
+
+    y = ops.batch_norm_inference(
+        jnp.asarray(nhwc(x)), jnp.asarray(scale), jnp.asarray(bias),
+        jnp.asarray(r_mean), jnp.asarray(r_var))
+    yt = F.batch_norm(torch.tensor(x), torch.tensor(r_mean),
+                      torch.tensor(r_var), torch.tensor(scale),
+                      torch.tensor(bias), training=False)
+    np.testing.assert_allclose(nchw(np.asarray(y)), yt.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,stride,pad", [(2, 2, 0), (3, 2, 1), (3, 1, 1)])
+def test_max_pool_parity(k, stride, pad):
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 4, 9, 9)).astype(np.float32)
+    ours = ops.max_pool2d(jnp.asarray(nhwc(x)), k, stride, pad)
+    theirs = F.max_pool2d(torch.tensor(x), k, stride, pad).numpy()
+    np.testing.assert_allclose(nchw(np.asarray(ours)), theirs,
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("k,stride,pad", [(2, 2, 0), (3, 2, 1)])
+def test_avg_pool_parity(k, stride, pad):
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    ours = ops.avg_pool2d(jnp.asarray(nhwc(x)), k, stride, pad)
+    theirs = F.avg_pool2d(torch.tensor(x), k, stride, pad).numpy()
+    np.testing.assert_allclose(nchw(np.asarray(ours)), theirs,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_max_pool_grad():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+
+    g = jax.grad(lambda x_: jnp.sum(ops.max_pool2d(x_, 3, 2, 1)))(
+        jnp.asarray(nhwc(x)))
+    xt = torch.tensor(x, requires_grad=True)
+    F.max_pool2d(xt, 3, 2, 1).sum().backward()
+    np.testing.assert_allclose(nchw(np.asarray(g)), xt.grad.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_global_avg_pool():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    ours = ops.global_avg_pool(jnp.asarray(nhwc(x)))
+    theirs = torch.tensor(x).mean(dim=(2, 3)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-5, atol=1e-6)

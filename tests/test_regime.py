@@ -1,0 +1,79 @@
+"""Regime engine + OptimRegime unit tests (SURVEY.md §4 'Unit')."""
+
+import pytest
+
+from convnet_tpu.regimes.regime import Regime
+from convnet_tpu.regimes.optim import OptimRegime
+from convnet_tpu.regimes import schedules
+
+
+def test_regime_epoch_triggers():
+    r = Regime([
+        {"epoch": 0, "lr": 0.1, "momentum": 0.9},
+        {"epoch": 30, "lr": 0.01},
+        {"epoch": 60, "lr": 0.001},
+    ])
+    r.update(0, 0)
+    assert r.setting["lr"] == 0.1 and r.setting["momentum"] == 0.9
+    changed = r.update(29, 100)
+    assert not changed and r.setting["lr"] == 0.1
+    assert r.update(30, 200)
+    assert r.setting["lr"] == 0.01
+    # earlier settings persist unless overridden
+    assert r.setting["momentum"] == 0.9
+    r.update(75, 300)
+    assert r.setting["lr"] == 0.001
+
+
+def test_regime_step_triggers_and_callables():
+    warm = schedules.linear_warmup_lr(0.0, 1.0, 10)
+    r = Regime([{"step": 0, "lr": warm}, {"step": 100, "lr": 0.5}])
+    r.update(0, 0)
+    assert r.get("lr") == pytest.approx(0.0)
+    r.update(0, 5)
+    assert r.get("lr") == pytest.approx(0.5)
+    r.update(0, 50)
+    assert r.get("lr") == pytest.approx(1.0)
+    r.update(0, 100)
+    assert r.get("lr") == 0.5
+
+
+def test_regime_defaults_merge():
+    r = Regime([{"epoch": 2, "batch_size": 64}], defaults={"batch_size": 128,
+                                                           "shuffle": True})
+    r.update(0, 0)
+    assert r.setting["batch_size"] == 128
+    r.update(2, 10)
+    assert r.setting["batch_size"] == 64
+    assert r.setting["shuffle"] is True
+
+
+def test_optim_regime_hyperparams_and_switch():
+    o = OptimRegime([
+        {"epoch": 0, "optimizer": "SGD", "lr": 0.1, "momentum": 0.9,
+         "regularizer": {"name": "WeightDecay", "value": 1e-4}},
+        {"epoch": 10, "optimizer": "Adam", "lr": 1e-3},
+    ])
+    o.update(0, 0)
+    hp = o.hyperparams()
+    assert hp["lr"] == 0.1
+    assert hp["momentum"] == 0.9
+    assert hp["decoupled_weight_decay"] == pytest.approx(1e-4)
+    assert o.optimizer_name == "SGD"
+    structural = o.update(10, 1000)
+    assert structural  # optimizer class switched
+    assert o.optimizer_name == "Adam"
+    assert o.hyperparams()["lr"] == pytest.approx(1e-3)
+    # slots allocated for both optimizers
+    assert o.needed_slots == {"mu", "m", "v"}
+
+
+def test_step_decay_and_cosine():
+    lr = schedules.step_decay_lr(0.1, 0.1, 30)
+    assert lr(0, 0) == pytest.approx(0.1)
+    assert lr(30, 0) == pytest.approx(0.01)
+    assert lr(60, 0) == pytest.approx(0.001)
+    cos = schedules.cosine_lr(1.0, 100, warmup_steps=10)
+    assert cos(0, 0) == pytest.approx(0.1)
+    assert cos(0, 10) == pytest.approx(1.0)
+    assert cos(0, 100) == pytest.approx(0.0, abs=1e-6)

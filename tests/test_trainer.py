@@ -1,0 +1,134 @@
+"""Integration tests: short training runs, checkpoint→resume
+continuation, chunked micro-batching, duplicates TTA (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convnet_tpu import models
+from convnet_tpu.data.data_regime import DataRegime
+from convnet_tpu.regimes.optim import OptimRegime
+from convnet_tpu.train.trainer import Trainer, TrainerConfig
+from convnet_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+
+def _make(model_cfg=None, lr=None, **cfg_kwargs):
+    model = models.build("resnet", dataset="cifar10",
+                         **(model_cfg or {"depth": 20}))
+    regime = model.regime
+    if lr is not None:
+        regime = [{**regime[0], "lr": lr}] + regime[1:]
+    optim = OptimRegime(regime)
+    trainer = Trainer(model, optim, 10,
+                      TrainerConfig(print_freq=0, **cfg_kwargs), seed=3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state, opt_state = trainer.initialize(params, state)
+    return model, trainer, params, state, opt_state
+
+
+def _loader(epoch=0, n=8, b=32, size=32):
+    data = DataRegime(defaults={"name": "synthetic", "batch_size": b,
+                                "dataset_kwargs": {"size": n * b,
+                                                   "image_size": size}})
+    data.set_epoch(epoch)
+    return data.get_loader()
+
+
+def test_loss_decreases():
+    # modest lr: the synthetic labels are random, so this is a
+    # memorization test — the classic 0.1 regime oscillates on it
+    model, tr, params, state, opt_state = _make(lr=0.02)
+    losses = []
+    for epoch in range(4):
+        # same data every epoch → memorizable
+        params, state, opt_state, res = tr.train_epoch(
+            _loader(0), params, state, opt_state, epoch)
+        losses.append(res["loss"])
+    assert min(losses[1:]) < losses[0], losses
+
+
+def test_chunk_batch_matches_full_batch_grads():
+    """Micro-batched gradient accumulation ≈ full-batch step (BN stats
+    differ per-chunk, so compare loosely after 1 step)."""
+    _, tr1, p1, s1, o1 = _make(chunk_batch=1)
+    _, tr2, p2, s2, o2 = _make(chunk_batch=4)
+    x = np.random.default_rng(0).standard_normal((32, 32, 32, 3)).astype(np.float32)
+    y = np.zeros(32, np.int32)
+    for tr, p, s, o in ((tr1, p1, s1, o1), (tr2, p2, s2, o2)):
+        tr.optim.update(0, 0)
+    hp1 = tr1._hp_device(tr1.optim.hyperparams())
+    step1 = tr1._get_train_step()
+    step2 = tr2._get_train_step()
+    r = jax.random.PRNGKey(5)
+    p1n, _, _, m1 = step1(p1, s1, o1, jnp.asarray(x), jnp.asarray(y), hp1, r)
+    p2n, _, _, m2 = step2(p2, s2, o2, jnp.asarray(x), jnp.asarray(y), hp1, r)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=0.1)
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    """Save → load → continue must produce identical params to an
+    uninterrupted run (optimizer state incl. momentum restored)."""
+    model, tr, params, state, opt_state = _make()
+    loader0 = list(_loader(0))
+    loader1 = list(_loader(1))
+
+    # run 2 epochs straight
+    p, s, o = params, state, opt_state
+    p, s, o, _ = tr.train_epoch(loader0, p, s, o, 0)
+    ckpt_file = save_checkpoint(
+        {"epoch": 0, "params": p, "state": s, "opt_state": o,
+         "training_steps": tr.training_steps}, False, str(tmp_path))
+    p, s, o, _ = tr.train_epoch(loader1, p, s, o, 1)
+    straight = jax.device_get(p)
+
+    # resume from the checkpoint with a fresh trainer
+    model2, tr2, _, _, _ = _make()
+    ckpt = load_checkpoint(ckpt_file)
+    tr2.training_steps = int(ckpt["training_steps"])
+    tr2.rng = tr.__class__(model2, tr2.optim, 10).rng  # same seed path
+    tr2.rng = jax.random.PRNGKey(3)
+    # fast-forward trainer rng: one split per step taken in epoch 0
+    for _ in range(len(loader0)):
+        tr2.rng, _ = jax.random.split(tr2.rng)
+    p2, s2, o2, _ = tr2.train_epoch(loader1, ckpt["params"], ckpt["state"],
+                                    ckpt["opt_state"], 1)
+    resumed = jax.device_get(p2)
+    for a, b in zip(jax.tree_util.tree_leaves(straight),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_duplicates_tta_eval():
+    model, tr, params, state, opt_state = _make(duplicates=2,
+                                                average_output=True)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    x = np.repeat(x, 2, axis=0)  # duplicate pairs
+    y = np.repeat(rng.integers(0, 10, 16), 2).astype(np.int32)
+    res = tr.validate([(x, y)], params, state)
+    assert np.isfinite(res["loss"])
+
+
+def test_mixup_training_runs():
+    model, tr, params, state, opt_state = _make(mixup_alpha=0.5,
+                                                label_smoothing=0.1)
+    params, state, opt_state, res = tr.train_epoch(
+        _loader(), params, state, opt_state, 0)
+    assert np.isfinite(res["loss"])
+
+
+def test_grad_clip_bounds_update():
+    model, tr, params, state, opt_state = _make(grad_clip=0.01)
+    params, state, opt_state, res = tr.train_epoch(
+        _loader(n=2), params, state, opt_state, 0)
+    assert np.isfinite(res["loss"])
+
+
+def test_calibrate_bn():
+    model, tr, params, state, opt_state = _make()
+    new_state = tr.calibrate_bn(_loader(n=2), params, state, num_steps=2)
+    # calibrated stats differ from init (mean 0 / var 1)
+    m = new_state["stem"]["bn"]["mean"]
+    assert float(jnp.max(jnp.abs(m))) > 0
