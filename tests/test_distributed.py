@@ -87,20 +87,27 @@ def _train_steps(mesh, sync_bn, n_steps=3):
 def test_sharded_equals_single_device_with_sync_bn():
     """With cross-replica BN, an 8-way sharded step must reproduce the
     single-device step (same data, same rng) — gradients pmean-ed over
-    shards equal the full-batch gradient."""
-    losses_1, params_1 = _train_steps(None, sync_bn=False)
-    losses_8, params_8 = _train_steps(make_mesh(8), sync_bn=True)
-    # Note: single-device BN over the full batch IS "sync" BN of shards.
-    # losses across steps are the strong check: step k's loss depends on
-    # step k-1's params, so agreement over 3 steps implies the sharded
-    # update matches the full-batch update.
-    np.testing.assert_allclose(losses_8, losses_1, rtol=2e-3)
-    # params agree up to fp32 reduction-order noise amplified by lr
-    flat1 = jax.tree_util.tree_leaves(params_1)
-    flat8 = jax.tree_util.tree_leaves(params_8)
-    for a, b in zip(flat1, flat8):
+    shards equal the full-batch gradient.
+
+    Note: single-device BN over the full batch IS "sync" BN of shards.
+    Params are compared after ONE step (tight — only fp32
+    reduction-order noise); losses are compared across 3 steps (step
+    k's loss depends on step k-1's params, so agreement over steps
+    means the updates track without divergence).
+    """
+    _, params_1_one = _train_steps(None, sync_bn=False, n_steps=1)
+    _, params_8_one = _train_steps(make_mesh(8), sync_bn=True, n_steps=1)
+    # atol: BN-scale grads are sums of ~1e4 ±O(1) terms — cancellation
+    # amplifies fp32 reduction-order noise to ~1e-4 on the gradient,
+    # i.e. ~1e-5 on the param after an lr=0.1 step.
+    for a, b in zip(jax.tree_util.tree_leaves(params_1_one),
+                    jax.tree_util.tree_leaves(params_8_one)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-2, atol=3e-3)
+                                   rtol=1e-3, atol=1e-4)
+
+    losses_1, _ = _train_steps(None, sync_bn=False)
+    losses_8, _ = _train_steps(make_mesh(8), sync_bn=True)
+    np.testing.assert_allclose(losses_8, losses_1, rtol=2e-3)
 
 
 def test_ghost_bn_differs_from_sync():
