@@ -47,22 +47,26 @@ def main():
     step_fn = trainer._get_train_step()
     rng = jax.random.PRNGKey(1)
 
-    # compile + warmup
+    # compile + warmup. NOTE: on the axon backend block_until_ready is
+    # lazy — only a host fetch truly synchronizes, so all timing windows
+    # are closed by float() fetches.
     params, state, opt_state, m = step_fn(params, state, opt_state, x, y, hp, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     for _ in range(3):
         params, state, opt_state, m = step_fn(params, state, opt_state, x, y, hp, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
-    times = []
-    for _ in range(steps):
+    def timed_window(k):
+        nonlocal params, state, opt_state
         t0 = time.perf_counter()
-        params, state, opt_state, m = step_fn(params, state, opt_state, x, y, hp, rng)
-        jax.block_until_ready(m["loss"])
-        times.append(time.perf_counter() - t0)
+        for _ in range(k):
+            params, state, opt_state, mm = step_fn(
+                params, state, opt_state, x, y, hp, rng)
+        float(mm["loss"])  # synchronize
+        return (time.perf_counter() - t0) / k
 
-    times.sort()
-    p50 = times[len(times) // 2]
+    windows = sorted(timed_window(steps) for _ in range(3))
+    p50 = windows[1]
     img_per_sec = batch / p50
     result = {
         "metric": "resnet50_train_images_per_sec_per_chip",

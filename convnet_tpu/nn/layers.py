@@ -167,7 +167,8 @@ class MaxPool2d(_Stateless):
         self.kernel_size, self.stride, self.padding = kernel_size, stride, padding
 
     def __call__(self, params, state, x, ctx):
-        return ops.max_pool2d(x, self.kernel_size, self.stride, self.padding), state
+        return ops.max_pool2d(x, self.kernel_size, self.stride, self.padding,
+                              impl=ctx.impl), state
 
 
 class AvgPool2d(_Stateless):

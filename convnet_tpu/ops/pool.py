@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,16 +44,142 @@ def _patches(x, kernel, stride, padding, pad_value):
             yield x[:, i:i + h_out * sh:sh, j:j + w_out * sw:sw, :]
 
 
-def max_pool2d(x, kernel, stride=None, padding=0):
-    stride = stride if stride is not None else kernel
-    if jnp.issubdtype(x.dtype, jnp.floating):
-        pad_value = -jnp.inf
-    else:
-        pad_value = jnp.iinfo(x.dtype).min
+def _mp_fwd_argmax(x, kernel, stride, padding):
+    """One pass over padded x via strided slices: (out, argmax tap idx).
+
+    First-match tie-breaking (strict `>` update) matches torch/cudnn's
+    single-winner gradient routing.
+    """
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    b, h, w, c = x.shape
+    h_out = _out_size(h, kh, sh, ph)
+    w_out = _out_size(w, kw, sw, pw)
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), constant_values=neg)
     out = None
-    for patch in _patches(x, kernel, stride, padding, pad_value):
-        out = patch if out is None else jnp.maximum(out, patch)
-    return out
+    idx = None
+    for di in range(kh):
+        for dj in range(kw):
+            t = di * kw + dj
+            patch = jax.lax.slice(
+                xp, (0, di, dj, 0),
+                (b, di + (h_out - 1) * sh + 1, dj + (w_out - 1) * sw + 1, c),
+                (1, sh, sw, 1))
+            if out is None:
+                out = patch
+                idx = jnp.zeros(patch.shape, jnp.uint8)
+            else:
+                better = patch > out
+                out = jnp.where(better, patch, out)
+                idx = jnp.where(better, jnp.uint8(t), idx)
+    return out, idx
+
+
+def _interleave(planes, period, axis, target_len, crop_lo):
+    """Given ``period`` per-residue planes (same shape), interleave along
+    ``axis`` so plane r element b lands at coordinate period*b + r, then
+    crop [crop_lo : crop_lo+target_len]."""
+    stacked = jnp.stack(planes, axis=axis + 1)  # (..., L, period, ...)
+    shape = list(stacked.shape)
+    shape[axis:axis + 2] = [shape[axis] * shape[axis + 1]]
+    merged = stacked.reshape(shape)
+    length = merged.shape[axis]
+    if length < crop_lo + target_len:
+        pad = [(0, 0)] * merged.ndim
+        pad[axis] = (0, crop_lo + target_len - length)
+        merged = jnp.pad(merged, pad)
+    sl = [slice(None)] * merged.ndim
+    sl[axis] = slice(crop_lo, crop_lo + target_len)
+    return merged[tuple(sl)]
+
+
+def _shift_pad(x, axis, lo, hi):
+    """Pad ``lo`` before / ``hi`` after along axis (block-shift)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (lo, hi)
+    return jnp.pad(x, pad)
+
+
+def _mp_bwd(kernel, stride, padding, x_shape, x_dtype, idx, dy):
+    """Scatter-free max-pool backward: decompose the strided scatter by
+    residue classes and reassemble with interleaving reshapes — all
+    elementwise ops and pads, fully fusable on TPU (no select-and-scatter,
+    which XLA lowers poorly on this backend)."""
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    b, h, w, c = x_shape
+    dy = dy.astype(jnp.float32)
+
+    # --- columns first: for each row-tap di, an array over padded cols
+    qw = (kw - 1) // sw
+    row_terms = []
+    for di in range(kh):
+        col_planes = []
+        for rc in range(sw):
+            acc = None
+            for dj in range(rc, kw, sw):
+                contrib = dy * (idx == jnp.uint8(di * kw + dj))
+                shifted = _shift_pad(contrib, 2, dj // sw, qw - dj // sw)
+                acc = shifted if acc is None else acc + shifted
+            col_planes.append(acc if acc is not None
+                              else jnp.zeros(_shift_pad(dy, 2, 0, qw).shape,
+                                             jnp.float32))
+        row_terms.append(_interleave(col_planes, sw, 2, w, pw))
+
+    # --- rows: same decomposition over di
+    qh = (kh - 1) // sh
+    row_planes = []
+    for rr in range(sh):
+        acc = None
+        for di in range(rr, kh, sh):
+            shifted = _shift_pad(row_terms[di], 1, di // sh, qh - di // sh)
+            acc = shifted if acc is None else acc + shifted
+        row_planes.append(acc if acc is not None
+                          else jnp.zeros(_shift_pad(row_terms[0], 1, 0, qh).shape,
+                                         jnp.float32))
+    dx = _interleave(row_planes, sh, 1, h, ph)
+    return dx.astype(x_dtype)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _make_max_pool(kernel, stride, padding, x_shape, dtype_name):
+    """custom_vjp specialized per static (config, shape, dtype)."""
+
+    @jax.custom_vjp
+    def mp(x):
+        return _mp_fwd_argmax(x, kernel, stride, padding)[0]
+
+    def fwd(x):
+        out, idx = _mp_fwd_argmax(x, kernel, stride, padding)
+        return out, idx
+
+    def bwd(idx, dy):
+        return (_mp_bwd(kernel, stride, padding, x_shape, dtype_name,
+                        idx, dy),)
+
+    mp.defvjp(fwd, bwd)
+    return mp
+
+
+def max_pool2d(x, kernel, stride=None, padding=0, impl="xla"):
+    stride = stride if stride is not None else kernel
+    kernel = _pair(kernel)
+    stride = _pair(stride)
+    padding = _pair(padding)
+    if impl == "pallas":
+        from convnet_tpu.ops.pallas import pool as ppool
+        if ppool.supported(x.shape, kernel, stride, padding):
+            interpret = jax.devices()[0].platform == "cpu"
+            return ppool.max_pool2d_pallas(x, kernel, stride, padding,
+                                           interpret=interpret)
+    mp = _make_max_pool(kernel, stride, padding, x.shape, str(x.dtype))
+    return mp(x)
 
 
 def avg_pool2d(x, kernel, stride=None, padding=0, count_include_pad=True):
