@@ -135,8 +135,9 @@ class IndexedTarDataset:
     (name, offset, size, label) — is built once by scanning the tar and
     cached next to it as .idx.npz. Class = first path component."""
 
-    def __init__(self, tar_path: str):
+    def __init__(self, tar_path: str, use_native: bool = True):
         self.tar_path = tar_path
+        self.use_native = use_native
         idx_path = tar_path + ".idx.npz"
         if os.path.exists(idx_path):
             cached = np.load(idx_path, allow_pickle=False)
@@ -145,17 +146,25 @@ class IndexedTarDataset:
             self.labels = cached["labels"]
             self.classes = [str(c) for c in cached["classes"]]
         else:
-            offsets, sizes, names = [], [], []
-            with tarfile.open(tar_path) as tf:
-                for member in tf:
-                    if member.isfile():
-                        offsets.append(member.offset_data)
-                        sizes.append(member.size)
-                        names.append(member.name)
+            names = None
+            if use_native:
+                # GIL-free single-pass C++ scan (native/dataio.cpp)
+                from convnet_tpu.data import native
+                indexed = native.tar_index(tar_path)
+                if indexed is not None:
+                    self.offsets, self.sizes, names = indexed
+            if names is None:
+                offsets, sizes, names = [], [], []
+                with tarfile.open(tar_path) as tf:
+                    for member in tf:
+                        if member.isfile():
+                            offsets.append(member.offset_data)
+                            sizes.append(member.size)
+                            names.append(member.name)
+                self.offsets = np.asarray(offsets, np.int64)
+                self.sizes = np.asarray(sizes, np.int64)
             cls = sorted({n.split("/")[0] for n in names})
             cls_idx = {c: i for i, c in enumerate(cls)}
-            self.offsets = np.asarray(offsets, np.int64)
-            self.sizes = np.asarray(sizes, np.int64)
             self.labels = np.asarray([cls_idx[n.split("/")[0]] for n in names],
                                      np.int32)
             self.classes = cls
@@ -163,6 +172,29 @@ class IndexedTarDataset:
                      labels=self.labels, classes=np.asarray(cls))
         self.num_classes = len(self.classes)
         self._fh = None
+
+    def read_blobs(self, indices):
+        """Batched raw reads for the given sample indices (thread-pooled
+        pread in C++ when available; sequential python otherwise)."""
+        indices = list(indices)
+        if self.use_native:
+            from convnet_tpu.data import native
+            blobs = native.batch_read(
+                self.tar_path, self.offsets[indices], self.sizes[indices])
+            if blobs is not None:
+                return blobs
+        if self._fh is None:
+            self._fh = open(self.tar_path, "rb")
+        out = []
+        for i in indices:
+            self._fh.seek(self.offsets[i])
+            out.append(self._fh.read(self.sizes[i]))
+        return out
+
+    def decode(self, blob):
+        import io
+        from PIL import Image
+        return Image.open(io.BytesIO(blob)).convert("RGB")
 
     def __len__(self):
         return len(self.offsets)

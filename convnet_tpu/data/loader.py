@@ -124,6 +124,13 @@ class DataLoader:
         arr = self.transform.host(sample, rng)
         return arr, label
 
+    def _decode_blob(self, args):
+        blob, label, sample_seed = args
+        import random as _random
+        rng = _random.Random(sample_seed)
+        arr = self.transform.host(self.dataset.decode(blob), rng)
+        return arr, label
+
     def __iter__(self) -> Iterator:
         n = len(self.dataset)
         perm = _epoch_permutation(n, self.epoch, self.seed, self.shuffle)
@@ -134,19 +141,36 @@ class DataLoader:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         stop = threading.Event()
 
+        # archive-backed datasets expose batched raw reads (native
+        # thread-pooled pread — data/native.py); decode still fans out
+        # over the thread pool
+        blob_mode = (hasattr(self.dataset, "read_blobs")
+                     and hasattr(self.dataset, "decode"))
+
         def assemble():
             try:
                 for b in range(num_batches):
                     if stop.is_set():
                         return
                     idx = shard[b * self.batch_size:(b + 1) * self.batch_size]
-                    tasks = []
-                    for i in idx:
-                        for d in range(dup):
-                            tasks.append((int(i),
-                                          hash((self.seed, self.epoch, int(i), d))
-                                          & 0x7FFFFFFF))
-                    results = list(pool.map(self._load_sample, tasks))
+                    if blob_mode:
+                        unique = list(dict.fromkeys(int(i) for i in idx))
+                        blobs = dict(zip(unique,
+                                         self.dataset.read_blobs(unique)))
+                        labels = self.dataset.labels
+                        tasks = [
+                            (blobs[int(i)], int(labels[int(i)]),
+                             hash((self.seed, self.epoch, int(i), d))
+                             & 0x7FFFFFFF)
+                            for i in idx for d in range(dup)]
+                        results = list(pool.map(self._decode_blob, tasks))
+                    else:
+                        tasks = [
+                            (int(i),
+                             hash((self.seed, self.epoch, int(i), d))
+                             & 0x7FFFFFFF)
+                            for i in idx for d in range(dup)]
+                        results = list(pool.map(self._load_sample, tasks))
                     xs = np.stack([r[0] for r in results])
                     ys = np.asarray([r[1] for r in results], np.int32)
                     out_q.put((xs, ys))

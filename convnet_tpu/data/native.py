@@ -1,0 +1,112 @@
+"""ctypes bindings for the native data-IO runtime (native/dataio.cpp).
+
+The C++ library provides GIL-free tar indexing, thread-pooled batched
+``pread`` and a prefetch ring — the native half of the input pipeline
+(the reference delegates this to torch DataLoader worker *processes*;
+here it's a shared library + threads). Auto-builds with ``make`` on
+first use; every caller has a pure-Python fallback, so the framework
+works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libconvnet_dataio.so"))
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_attempted = False
+
+
+def _load():
+    global _lib, _build_attempted
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build_attempted:
+            _build_attempted = True
+            try:
+                subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                               check=True, capture_output=True, timeout=120)
+            except Exception as e:  # toolchain absent → python fallback
+                log.debug("native dataio build failed: %s", e)
+                return None
+        if not os.path.exists(_LIB_PATH):
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.ctpu_tar_index.restype = ctypes.c_int64
+        lib.ctpu_tar_index.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int64]
+        lib.ctpu_batch_read.restype = ctypes.c_int
+        lib.ctpu_batch_read.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def tar_index(tar_path: str):
+    """Returns (offsets int64[n], sizes int64[n], names list[str]) or
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    path = tar_path.encode()
+    n = lib.ctpu_tar_index(path, None, None, 0, None, 0)
+    if n < 0:
+        return None
+    offsets = np.zeros(n, np.int64)
+    sizes = np.zeros(n, np.int64)
+    name_cap = int(n) * 264 + 16
+    names_buf = ctypes.create_string_buffer(name_cap)
+    got = lib.ctpu_tar_index(
+        path,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, names_buf, name_cap)
+    if got != n:
+        return None
+    names = bytes(names_buf.raw).split(b"\0")[:n]
+    return offsets, sizes, [s.decode("utf-8", "replace") for s in names]
+
+
+def batch_read(path: str, offsets, sizes, threads: int = 8):
+    """Read many (offset, size) spans concurrently; returns a list of
+    bytes objects (or None if unavailable)."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    dst_offsets = np.zeros(len(sizes), np.int64)
+    np.cumsum(sizes[:-1], out=dst_offsets[1:])
+    total = int(sizes.sum())
+    dst = np.empty(total, np.uint8)
+    rc = lib.ctpu_batch_read(
+        path.encode(),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(sizes),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        threads)
+    if rc != 0:
+        return None
+    return [dst[o:o + s].tobytes() for o, s in zip(dst_offsets, sizes)]
