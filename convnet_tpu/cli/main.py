@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--cutout", action="store_true")
     p.add_argument("--duplicates", type=int, default=1,
                    help="batch augmentation: times each sample appears")
+    p.add_argument("--multicrop", action="store_true",
+                   help="deterministic multi-crop TTA at eval "
+                        "(use with --duplicates 5 or 10)")
     # model
     p.add_argument("--model", default="resnet")
     p.add_argument("--model-config", default="",
@@ -87,6 +90,8 @@ def build_parser():
     p.add_argument("--save-all", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of epoch 0")
+    p.add_argument("--tensorwatch", action="store_true",
+                   help="stream per-step telemetry to results/<save>/watch.jsonl")
     return p
 
 
@@ -165,6 +170,8 @@ def main(argv=None):
         average_output=args.duplicates > 1, print_freq=args.print_freq)
     trainer = Trainer(model, optim, num_classes, cfg, mesh=mesh,
                       seed=args.seed)
+    if args.tensorwatch:
+        trainer.set_watcher(os.path.join(save_path, "watch.jsonl"))
 
     params, state = model.init(jax.random.PRNGKey(args.seed), trainer.policy)
     log.info("number of parameters: %d", param_count(params))
@@ -209,7 +216,8 @@ def main(argv=None):
                             process_count=jax.process_count())
     eval_bs = args.eval_batch_size if args.eval_batch_size > 0 else args.batch_size
     eval_defaults = {**defaults, "split": "val", "augment": False,
-                     "batch_size": eval_bs, "duplicates":
+                     "batch_size": eval_bs, "multicrop": args.multicrop,
+                     "duplicates":
                      args.duplicates if cfg.average_output else 1}
     val_data = DataRegime(getattr(model, "data_eval_regime", None),
                           defaults=eval_defaults, seed=args.seed,

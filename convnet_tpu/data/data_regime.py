@@ -25,7 +25,8 @@ log = logging.getLogger(__name__)
 
 _LOADER_KEYS = ("name", "split", "batch_size", "input_size", "scale_size",
                 "augment", "duplicates", "cutout", "autoaugment", "shuffle",
-                "drop_last", "num_workers", "data_dir", "lighting")
+                "drop_last", "num_workers", "data_dir", "lighting",
+                "multicrop")
 
 
 class DataRegime:
@@ -100,6 +101,7 @@ class DataRegime:
             autoaugment=bool(s.get("autoaugment")),
             duplicates=s["duplicates"],
             lighting=bool(s.get("lighting")),
+            multicrop=bool(s.get("multicrop")),
         )
 
         common = dict(batch_size=s["batch_size"], shuffle=s["shuffle"],

@@ -101,6 +101,41 @@ def _load_mnist(root, split="train"):
     return ArrayDataset(data, labels, 10)
 
 
+def _load_svhn(root, split="train"):
+    """Parse the SVHN cropped-digits .mat files (train_32x32.mat)."""
+    from scipy.io import loadmat
+    name = {"train": "train_32x32.mat", "val": "test_32x32.mat",
+            "test": "test_32x32.mat"}[split if split in ("train",) else "val"]
+    for candidate in (os.path.join(root, "svhn", name),
+                      os.path.join(root, name)):
+        if os.path.exists(candidate):
+            mat = loadmat(candidate)
+            break
+    else:
+        raise FileNotFoundError(name)
+    data = np.transpose(mat["X"], (3, 0, 1, 2))  # HWCN → NHWC
+    labels = mat["y"].reshape(-1).astype(np.int32) % 10  # '10' means 0
+    return ArrayDataset(np.ascontiguousarray(data), labels, 10)
+
+
+def _load_stl10(root, split="train"):
+    """Parse the STL-10 binary files (96×96×3, CHW column-major)."""
+    prefix = "train" if split == "train" else "test"
+    base = None
+    for candidate in (os.path.join(root, "stl10_binary"), root):
+        if os.path.exists(os.path.join(candidate, f"{prefix}_X.bin")):
+            base = candidate
+            break
+    if base is None:
+        raise FileNotFoundError(f"{prefix}_X.bin")
+    with open(os.path.join(base, f"{prefix}_X.bin"), "rb") as f:
+        x = np.frombuffer(f.read(), np.uint8)
+    with open(os.path.join(base, f"{prefix}_y.bin"), "rb") as f:
+        y = np.frombuffer(f.read(), np.uint8).astype(np.int32) - 1
+    x = x.reshape(-1, 3, 96, 96).transpose(0, 3, 2, 1)  # column-major HW
+    return ArrayDataset(np.ascontiguousarray(x), y, 10)
+
+
 class ImageFolder:
     """ImageNet-style class-per-directory layout; PIL decode on access."""
 
@@ -224,6 +259,10 @@ def get_dataset(name: str, split: str = "train", data_dir: Optional[str] = None,
         return _load_cifar(root, name, split)
     if name == "mnist":
         return _load_mnist(root, split)
+    if name == "svhn":
+        return _load_svhn(root, split)
+    if name == "stl10":
+        return _load_stl10(root, split)
     if name in ("imagenet", "imagefolder"):
         sub = {"train": "train", "val": "val", "eval": "val"}.get(split, split)
         return ImageFolder(os.path.join(root, sub))

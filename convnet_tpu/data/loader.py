@@ -117,18 +117,18 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _load_sample(self, args):
-        idx, sample_seed = args
+        idx, sample_seed, dup = args
         import random as _random
         rng = _random.Random(sample_seed)
         sample, label = self.dataset[idx]
-        arr = self.transform.host(sample, rng)
+        arr = self.transform.host(sample, rng, dup)
         return arr, label
 
     def _decode_blob(self, args):
-        blob, label, sample_seed = args
+        blob, label, sample_seed, dup = args
         import random as _random
         rng = _random.Random(sample_seed)
-        arr = self.transform.host(self.dataset.decode(blob), rng)
+        arr = self.transform.host(self.dataset.decode(blob), rng, dup)
         return arr, label
 
     def __iter__(self) -> Iterator:
@@ -161,14 +161,14 @@ class DataLoader:
                         tasks = [
                             (blobs[int(i)], int(labels[int(i)]),
                              hash((self.seed, self.epoch, int(i), d))
-                             & 0x7FFFFFFF)
+                             & 0x7FFFFFFF, d)
                             for i in idx for d in range(dup)]
                         results = list(pool.map(self._decode_blob, tasks))
                     else:
                         tasks = [
                             (int(i),
                              hash((self.seed, self.epoch, int(i), d))
-                             & 0x7FFFFFFF)
+                             & 0x7FFFFFFF, d)
                             for i in idx for d in range(dup)]
                         results = list(pool.map(self._load_sample, tasks))
                     xs = np.stack([r[0] for r in results])

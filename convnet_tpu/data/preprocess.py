@@ -57,7 +57,7 @@ class Transform:
         self.device = jax.jit(self.device)
 
 
-def _identity_host(sample, rng):
+def _identity_host(sample, rng, dup=0):
     return np.asarray(sample)
 
 
@@ -68,8 +68,9 @@ def _pil_of(sample):
     return sample.convert("RGB")
 
 
-def inception_host(sample, rng: random.Random, out_size=224, scale=(0.08, 1.0),
-                   ratio=(3 / 4, 4 / 3), autoaugment_policy=None):
+def inception_host(sample, rng: random.Random, dup=0, out_size=224,
+                   scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                   autoaugment_policy=None):
     """RandomResizedCrop on the host at decode time
     (preprocess.py inception_preproccess — upstream sic)."""
     from PIL import Image
@@ -110,9 +111,36 @@ def scale_center(img, out_size, scale_size=None):
     return img.crop((x0, y0, x0 + out_size, y0 + out_size))
 
 
-def scale_crop_host(sample, rng, out_size=224, scale_size=None):
+def scale_crop_host(sample, rng, dup=0, out_size=224, scale_size=None):
     img = _pil_of(sample)
     return np.asarray(scale_center(img, out_size, scale_size), np.uint8)
+
+
+def multicrop_host(sample, rng, dup=0, out_size=224, scale_size=None):
+    """Deterministic multi-crop TTA (preprocess.py multi-crop wrapper):
+    duplicate d selects center/4-corner crops (+ mirrored for d ≥ 5).
+    Pair with ``duplicates=k`` and eval output averaging."""
+    from PIL import Image
+    img = _pil_of(sample)
+    scale_size = scale_size or int(out_size * 256 / 224)
+    w, h = img.size
+    if w < h:
+        nw, nh = scale_size, int(h * scale_size / w)
+    else:
+        nw, nh = int(w * scale_size / h), scale_size
+    img = img.resize((nw, nh), Image.BILINEAR)
+    variant = dup % 10
+    if variant >= 5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        variant -= 5
+    positions = [
+        ((nw - out_size) // 2, (nh - out_size) // 2),   # center
+        (0, 0), (nw - out_size, 0),                     # corners
+        (0, nh - out_size), (nw - out_size, nh - out_size),
+    ]
+    x0, y0 = positions[variant]
+    return np.asarray(img.crop((x0, y0, x0 + out_size, y0 + out_size)),
+                      np.uint8)
 
 
 def get_transform(transform_name: str = "imagenet",
@@ -123,6 +151,7 @@ def get_transform(transform_name: str = "imagenet",
                   autoaugment: bool = False,
                   duplicates: int = 1,
                   lighting: bool = False,
+                  multicrop: bool = False,
                   normalize=None) -> Transform:
     """Reference-compatible dispatch (preprocess.py get_transform:~240–330)."""
     name = transform_name.lower()
@@ -157,7 +186,7 @@ def get_transform(transform_name: str = "imagenet",
             from convnet_tpu.data.autoaugment import CIFAR10Policy
             policy = CIFAR10Policy()
 
-            def host(sample, rng):  # noqa: F811 — intentional override
+            def host(sample, rng, dup=0):  # noqa: F811 — intentional override
                 return np.asarray(policy(_pil_of(np.asarray(sample)), rng),
                                   np.uint8)
 
@@ -186,7 +215,8 @@ def get_transform(transform_name: str = "imagenet",
             x = T.normalize(x, mean, std)
             return x
     else:
-        host = partial(scale_crop_host, out_size=size, scale_size=scale_size)
+        host_fn = multicrop_host if (multicrop and duplicates > 1) else scale_crop_host
+        host = partial(host_fn, out_size=size, scale_size=scale_size)
 
         def device_fn(key, batch):
             return T.normalize(T.to_float(batch), mean, std)

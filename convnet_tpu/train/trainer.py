@@ -88,6 +88,21 @@ class Trainer:
         self.training_steps = 0
         self._step_fns: Dict[str, Any] = {}
         self._eval_fn = None
+        self._watcher = None
+
+    def set_watcher(self, path_or_file):
+        """Live telemetry stream (the reference's ``--tensorwatch`` /
+        ``Trainer.set_watcher`` equivalent — SURVEY.md §5.1): appends
+        one JSON line per training step with loss/grad-norm/lr/timing.
+        Pass None to disable."""
+        if path_or_file is None:
+            if self._watcher is not None:
+                self._watcher.close()
+            self._watcher = None
+        elif hasattr(path_or_file, "write"):
+            self._watcher = path_or_file
+        else:
+            self._watcher = open(path_or_file, "a")
 
     # ------------------------------------------------------------------
     # step construction
@@ -308,6 +323,15 @@ class Trainer:
                 meters["step_time"].update(st)
                 step_times.append(st)
                 acc.update((float(m["correct1"]), float(m["correct5"])), n)
+                if self._watcher is not None:
+                    import json as _json
+                    self._watcher.write(_json.dumps({
+                        "epoch": epoch, "step": self.training_steps,
+                        "loss": float(m["loss"]),
+                        "grad_norm": float(m["grad_norm"]),
+                        "lr": float(hp["lr"]), "step_time": st,
+                        "data_time": dt}) + "\n")
+                    self._watcher.flush()
             if self.cfg.print_freq and i % self.cfg.print_freq == 0:
                 log.info(
                     "epoch %d step %d/%s loss %.4f prec1 %.2f prec5 %.2f "
