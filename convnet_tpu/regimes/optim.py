@@ -52,6 +52,7 @@ HP_DEFAULTS: Dict[str, float] = {
     "alpha": 0.99,              # RMSprop smoothing
     "grad_clip": -1.0,          # global-norm clip; <0 disables
     "loss_scale": 1.0,
+    "bounded_norm": 0.0,        # >0 → BoundedWeightNorm active
 }
 
 
@@ -164,17 +165,28 @@ OPTIMIZERS = {
 }
 
 
-def make_update_fn(optimizer: str, params_template, wd_mask_tree=None):
+def make_update_fn(optimizer: str, params_template, wd_mask_tree=None,
+                   bounded_norm: bool = False):
     """Build the pure ``update(params, grads, opt_state, hp)`` for a
     (static) optimizer name. ``wd_mask_tree`` is a bool pytree selecting
-    weight-decay-eligible leaves (default: weights only)."""
+    weight-decay-eligible leaves (default: weights only). With
+    ``bounded_norm`` the "Norm matters" post-step renormalization runs,
+    gated at runtime by ``hp['bounded_norm']`` (opt_state must carry
+    the reference norms under 'norms')."""
     spec = OPTIMIZERS[optimizer]
     mask = wd_mask_tree if wd_mask_tree is not None else wd_mask(params_template)
     mask01 = jax.tree_util.tree_map(lambda m: jnp.float32(1.0 if m else 0.0), mask)
 
     def update(params, grads, opt_state, hp):
-        return spec["step"](params, grads, opt_state, hp,
-                            mask01=mask01, **spec["kwargs"])
+        new_params, new_state = spec["step"](params, grads, opt_state, hp,
+                                             mask01=mask01, **spec["kwargs"])
+        if bounded_norm:
+            from convnet_tpu.regimes.regularization import bounded_weight_norm
+            renormed = bounded_weight_norm(new_params, new_state["norms"], mask)
+            active = hp["bounded_norm"] > 0
+            new_params = jax.tree_util.tree_map(
+                lambda r, p: jnp.where(active, r, p), renormed, new_params)
+        return new_params, new_state
 
     return update
 
@@ -211,11 +223,21 @@ class OptimRegime:
                 slots.update(OPTIMIZERS[n]["slots"])
         return slots or {"mu"}
 
+    @property
+    def uses_bounded_norm(self) -> bool:
+        return any(isinstance(e.get("regularizer"), dict)
+                   and e["regularizer"].get("name") == "BoundedWeightNorm"
+                   for e in self.regime.regime)
+
     def init_state(self, params):
         slots = self.needed_slots
-        return init_opt_state(params,
-                              with_adam=bool({"m", "v"} & slots),
-                              with_momentum="mu" in slots)
+        state = init_opt_state(params,
+                               with_adam=bool({"m", "v"} & slots),
+                               with_momentum="mu" in slots)
+        if self.uses_bounded_norm:
+            from convnet_tpu.regimes.regularization import init_norms
+            state["norms"] = init_norms(params)
+        return state
 
     def update(self, epoch: float, train_steps: int) -> bool:
         """Returns True on *structural* change (optimizer class switch)."""
@@ -235,6 +257,8 @@ class OptimRegime:
             hp["decoupled_weight_decay"] = float(reg.get("value", 0.0))
         elif isinstance(reg, dict) and reg.get("name") == "L2Regularization":
             hp["weight_decay"] = float(reg.get("value", 0.0))
+        elif isinstance(reg, dict) and reg.get("name") == "BoundedWeightNorm":
+            hp["bounded_norm"] = 1.0
         return hp
 
     def state_dict(self):

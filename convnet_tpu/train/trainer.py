@@ -247,8 +247,9 @@ class Trainer:
     def _get_train_step(self):
         name = self.optim.optimizer_name
         if name not in self._step_fns:
-            self._update_fn = make_update_fn(name, self._params_template,
-                                             self._wd_mask)
+            self._update_fn = make_update_fn(
+                name, self._params_template, self._wd_mask,
+                bounded_norm=self.optim.uses_bounded_norm)
             self._step_fns[name] = self._make_train_step(name)
         return self._step_fns[name]
 

@@ -1,0 +1,4 @@
+#!/bin/sh
+# ResNet-20 / CIFAR-10, He et al. stepped regime (~91.3% top-1)
+python main.py --model resnet --dataset cifar10 \
+    --model-config "{'depth': 20}" -b 128 --epochs 200 --save resnet20 "$@"

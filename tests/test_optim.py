@@ -95,3 +95,30 @@ def test_grad_clip():
     # disabled when max_norm < 0
     same, _ = clip_by_global_norm(grads, jnp.float32(-1.0))
     np.testing.assert_allclose(np.asarray(same["w"]), 3.0)
+
+
+def test_bounded_weight_norm():
+    """"Norm matters" regularizer: masked weights keep their init norm."""
+    from convnet_tpu.regimes.optim import OptimRegime, make_update_fn
+    rng = np.random.default_rng(0)
+    params = {"conv": {"w": jnp.asarray(rng.standard_normal((3, 3, 4, 8)),
+                                        jnp.float32),
+                       "b": jnp.zeros(8)}}
+    o = OptimRegime([{"epoch": 0, "optimizer": "SGD", "lr": 0.5,
+                      "momentum": 0.9,
+                      "regularizer": {"name": "BoundedWeightNorm"}}])
+    assert o.uses_bounded_norm
+    opt_state = o.init_state(params)
+    update = make_update_fn("SGD", params, bounded_norm=True)
+    hp = {k: jnp.float32(v) for k, v in o.hyperparams().items()}
+    norm0 = float(jnp.sqrt(jnp.sum(jnp.square(params["conv"]["w"]))))
+    p = params
+    for i in range(3):
+        grads = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(rng.standard_normal(x.shape), x.dtype), p)
+        p, opt_state = update(p, grads, opt_state, hp)
+        n = float(jnp.sqrt(jnp.sum(jnp.square(p["conv"]["w"]))))
+        assert abs(n - norm0) < 1e-4 * norm0
+    # weights actually moved (direction changes)
+    assert not np.allclose(np.asarray(p["conv"]["w"]),
+                           np.asarray(params["conv"]["w"]))
