@@ -90,6 +90,8 @@ def build_parser():
     p.add_argument("--save-all", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of epoch 0")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax nan-checking (debug runs)")
     p.add_argument("--tensorwatch", action="store_true",
                    help="stream per-step telemetry to results/<save>/watch.jsonl")
     return p
@@ -125,6 +127,8 @@ def main(argv=None):
                  jax.process_index(), jax.process_count(),
                  len(jax.devices()))
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     set_global_seeds(args.seed)
 
     # ---- model (embedded regime) ------------------------------------

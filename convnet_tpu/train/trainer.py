@@ -184,13 +184,24 @@ class Trainer:
             if cfg.adapt_grad_norm and cfg.duplicates > 1:
                 # "Augment your batch" (CVPR'20): rescale the aggregated
                 # gradient to the norm a single duplicate would produce.
+                # The ratio is re-measured every `adapt_grad_norm` steps
+                # (extra backward on one duplicate) and cached in the
+                # optimizer state between measurements.
                 sub = b // cfg.duplicates
                 rng, k = jax.random.split(rng)
-                (_, _), sub_grads = grad_fn(
-                    params, state, x[:sub], y[:sub], k, axis)
-                target_norm = global_norm(sub_grads)
                 cur_norm = global_norm(grads)
-                scale = target_norm / jnp.maximum(cur_norm, 1e-12)
+
+                def measure(_):
+                    (_, _), sub_grads = grad_fn(
+                        params, state, x[:sub], y[:sub], k, axis)
+                    target = global_norm(sub_grads)
+                    return target / jnp.maximum(cur_norm, 1e-12)
+
+                recompute = (opt_state["step"] % cfg.adapt_grad_norm) == 0
+                scale = jax.lax.cond(
+                    recompute, measure,
+                    lambda _: opt_state["agn_scale"], operand=None)
+                opt_state = {**opt_state, "agn_scale": scale}
                 grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
 
             grads, gnorm = clip_by_global_norm(grads, hp["grad_clip"])
@@ -265,6 +276,8 @@ class Trainer:
         self._wd_mask = (wd_mask_tree if wd_mask_tree is not None
                          else default_mask(params))
         opt_state = self.optim.init_state(params)
+        if self.cfg.adapt_grad_norm and self.cfg.duplicates > 1:
+            opt_state["agn_scale"] = jnp.float32(1.0)
         if self.mesh is not None:
             from convnet_tpu.parallel.mesh import replicate
             params = replicate(params, self.mesh)

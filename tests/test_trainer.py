@@ -132,3 +132,18 @@ def test_calibrate_bn():
     # calibrated stats differ from init (mean 0 / var 1)
     m = new_state["stem"]["bn"]["mean"]
     assert float(jnp.max(jnp.abs(m))) > 0
+
+
+def test_adapt_grad_norm():
+    """Batch-augmentation gradient rescaling runs and caches its scale."""
+    model, tr, params, state, opt_state = _make(duplicates=2,
+                                                adapt_grad_norm=2)
+    assert "agn_scale" in opt_state
+    rng = np.random.default_rng(0)
+    x = np.repeat(rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+                  2, axis=0)
+    y = np.repeat(rng.integers(0, 10, 8), 2).astype(np.int32)
+    params, state, opt_state, res = tr.train_epoch(
+        [(x, y)] * 3, params, state, opt_state, 0, steps_per_epoch=3)
+    assert np.isfinite(res["loss"])
+    assert float(opt_state["agn_scale"]) > 0
