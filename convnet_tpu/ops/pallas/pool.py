@@ -223,8 +223,11 @@ def _build(kernel, stride, padding, shape, dtype_name, interpret):
             col_planes.append(acc)
         return _interleave_static(col_planes, 1, pw, w)
 
-    # per-chunk crop offsets, prefetched to SMEM via the index table
-    lo_table = jnp.asarray(los, jnp.int32)
+    # per-chunk crop offsets, prefetched to SMEM via the index table.
+    # numpy here: a jnp constant built during a caller's trace would be
+    # cached by lru_cache and leak the tracer into later traces
+    import numpy as _np
+    lo_table = _np.asarray(los, _np.int32)
 
     def bwd_body(lo_ref, dyw_ref, idxw_ref, dx_ref, crop):
         j = pl.program_id(1)
@@ -277,7 +280,7 @@ def _build(kernel, stride, padding, shape, dtype_name, interpret):
     def run_bwd(idx, dy):
         dyw = _windows(dy, 1, oy_los, n_dy)
         idxw = _windows(idx, 1, oy_los, n_dy)
-        return bwd_call(lo_table, dyw.astype(dtype), idxw)
+        return bwd_call(jnp.asarray(lo_table), dyw.astype(dtype), idxw)
 
     @jax.custom_vjp
     def mp(x):

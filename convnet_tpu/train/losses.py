@@ -74,6 +74,41 @@ def cross_entropy(
     return jnp.sum(loss) / denom
 
 
+def binary_cross_entropy(logits, target, reduction: str = "mean",
+                         smooth_eps: float = 0.0, from_logits: bool = True):
+    """Smoothed BCE (utils/cross_entropy.py's smoothed-BCE tail):
+    targets are squeezed toward [eps/2, 1-eps/2] before the usual BCE.
+    ``target`` may be hard {0,1} or soft probabilities, any shape equal
+    to ``logits``."""
+    target = jnp.asarray(target, jnp.float32)
+    if smooth_eps and smooth_eps > 0:
+        target = target * (1.0 - smooth_eps) + 0.5 * smooth_eps
+    logits = logits.astype(jnp.float32)
+    if from_logits:
+        # numerically stable: max(x,0) - x*z + log(1+exp(-|x|))
+        loss = (jnp.maximum(logits, 0) - logits * target
+                + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    else:
+        p = jnp.clip(logits, 1e-7, 1 - 1e-7)
+        loss = -(target * jnp.log(p) + (1 - target) * jnp.log1p(-p))
+    if reduction == "none":
+        return loss
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return jnp.mean(loss)
+
+
+class BCELoss:
+    def __init__(self, reduction="mean", smooth_eps=0.0, from_logits=True):
+        self.reduction = reduction
+        self.smooth_eps = smooth_eps
+        self.from_logits = from_logits
+
+    def __call__(self, logits, target):
+        return binary_cross_entropy(logits, target, self.reduction,
+                                    self.smooth_eps, self.from_logits)
+
+
 class CrossEntropyLoss:
     """Callable config object (utils/cross_entropy.py CrossEntropyLoss)."""
 

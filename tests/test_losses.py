@@ -77,3 +77,23 @@ def test_criterion_object(logits_targets):
     crit = CrossEntropyLoss(smooth_eps=0.1)
     val = crit(jnp.asarray(logits), jnp.asarray(targets))
     assert np.isfinite(float(val))
+
+
+def test_bce_matches_torch():
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((8, 5)).astype(np.float32)
+    target = rng.integers(0, 2, (8, 5)).astype(np.float32)
+    from convnet_tpu.train.losses import binary_cross_entropy
+    ours = binary_cross_entropy(jnp.asarray(logits), jnp.asarray(target))
+    theirs = F.binary_cross_entropy_with_logits(
+        torch.tensor(logits), torch.tensor(target))
+    assert float(ours) == pytest.approx(float(theirs), rel=1e-5)
+
+
+def test_bce_smoothing():
+    from convnet_tpu.train.losses import binary_cross_entropy
+    logits = jnp.asarray([[4.0, -4.0]])
+    target = jnp.asarray([[1.0, 0.0]])
+    plain = binary_cross_entropy(logits, target)
+    smoothed = binary_cross_entropy(logits, target, smooth_eps=0.2)
+    assert float(smoothed) > float(plain)
