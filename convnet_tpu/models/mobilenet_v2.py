@@ -14,17 +14,22 @@ from convnet_tpu.models.resnet import weight_decay_config
 from convnet_tpu.regimes import schedules
 
 
-class ConvBNReLU6(Module):
+from convnet_tpu.models.resnet import ConvBN
+
+
+class ConvBNReLU6(ConvBN):
     def __init__(self, in_ch, out_ch, kernel, stride=1, padding=0, groups=1,
                  relu6=True):
-        self.conv = Conv2d(in_ch, out_ch, kernel, stride, padding, groups=groups)
-        self.bn = BatchNorm2d(out_ch)
-        self.relu6 = relu6
+        super().__init__(in_ch, out_ch, kernel, stride, padding,
+                         groups=groups, relu=relu6,
+                         act="relu6" if relu6 else "none")
 
     def __call__(self, params, state, x, ctx: Context):
+        if self._fusable(ctx):
+            return super().__call__(params, state, x, ctx)
         x, _ = self.conv(params["conv"], {}, x, ctx)
         x, bn_state = self.bn(params["bn"], state["bn"], x, ctx)
-        if self.relu6:
+        if self.relu:
             x = jax.numpy.minimum(jax.nn.relu(x), jax.numpy.asarray(6.0, x.dtype))
         return x, {"bn": bn_state}
 

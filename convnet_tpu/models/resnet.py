@@ -38,16 +38,39 @@ def weight_decay_config(value=1e-4):
 
 
 class ConvBN(Module):
-    """conv → BN (→ ReLU) — the fusable unit."""
+    """conv → BN (→ ReLU) — the fusable unit.
+
+    Inference with ``ctx.impl == 'pallas'`` routes pointwise convs
+    through the fused MXU kernel (ops/pallas/matmul_fused.py): one
+    kernel computes conv + folded BN + activation.
+    """
 
     def __init__(self, in_ch, out_ch, kernel, stride=1, padding=0, groups=1,
-                 relu=True, zero_init_gamma=False):
+                 relu=True, zero_init_gamma=False, act="relu"):
         self.conv = Conv2d(in_ch, out_ch, kernel, stride, padding, groups=groups)
         self.bn = BatchNorm2d(out_ch,
                               gamma_init=init.zeros if zero_init_gamma else init.ones)
         self.relu = relu
+        self.act = act if relu else "none"
+
+    def _fusable(self, ctx):
+        return (not ctx.train and ctx.impl == "pallas"
+                and self.conv.kernel_size == (1, 1)
+                and self.conv.stride in (1, (1, 1))
+                and self.conv.groups == 1)
 
     def __call__(self, params, state, x, ctx: Context):
+        if self._fusable(ctx):
+            from convnet_tpu.ops.pallas.matmul_fused import conv1x1_bn_act
+            bn_p, bn_s = params["bn"], state["bn"]
+            inv = jax.lax.rsqrt(bn_s["var"] + self.bn.eps)
+            scale = bn_p["scale"].astype(jax.numpy.float32) * inv
+            shift = (bn_p["bias"].astype(jax.numpy.float32)
+                     - bn_s["mean"] * scale)
+            y = conv1x1_bn_act(
+                x, params["conv"]["w"], scale, shift, act=self.act,
+                interpret=jax.devices()[0].platform == "cpu")
+            return y, state
         x, _ = self.conv(params["conv"], {}, x, ctx)
         x, bn_state = self.bn(params["bn"], state["bn"], x, ctx)
         if self.relu:
@@ -150,15 +173,27 @@ class ResNet_imagenet(ResNet):
     def __init__(self, depth=50, num_classes=1000, width=None, groups=1,
                  se_reduction=None, zero_init_residual=False, remat=False,
                  regime="normal", batch_size=256, epochs=90, block=None,
-                 layers=None):
+                 layers=None, stem="conv7"):
         if block is None or layers is None:
             block, layers = self.DEPTHS[depth]
         width = width or [64, 128, 256, 512]
-        self.stem = Sequential(
-            ConvBN(3, width[0], 7, 2, 3),
-            MaxPool2d(3, 2, 1),
-            names=["conv1", "maxpool"],
-        )
+        if stem == "s2d":
+            # space-to-depth stem: 2×2 s2d (3→12 ch) + 4×4/1 conv with
+            # asymmetric pad — the stride-2 7×7 conv re-expressed on a
+            # channel-rich input that tiles onto the MXU
+            from convnet_tpu.nn.layers import SpaceToDepth
+            self.stem = Sequential(
+                SpaceToDepth(2),
+                ConvBN(12, width[0], 4, 1, ((2, 1), (2, 1))),
+                MaxPool2d(3, 2, 1),
+                names=["s2d", "conv1", "maxpool"],
+            )
+        else:
+            self.stem = Sequential(
+                ConvBN(3, width[0], 7, 2, 3),
+                MaxPool2d(3, 2, 1),
+                names=["conv1", "maxpool"],
+            )
         stages = []
         inplanes = width[0]
         for i, (planes, n) in enumerate(zip(width, layers)):

@@ -162,6 +162,22 @@ class Flatten(_Stateless):
         return x.reshape(x.shape[0], -1), state
 
 
+class SpaceToDepth(_Stateless):
+    """(B, H, W, C) → (B, H/b, W/b, b²·C). MXU-friendly stem transform:
+    trades spatial for channel depth so the first conv has ≥ b²·C input
+    channels instead of 3 (the classic TPU ResNet stem trick)."""
+
+    def __init__(self, block=2):
+        self.block = block
+
+    def __call__(self, params, state, x, ctx):
+        b = self.block
+        n, h, w, c = x.shape
+        x = x.reshape(n, h // b, b, w // b, b, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(n, h // b, w // b, b * b * c), state
+
+
 class MaxPool2d(_Stateless):
     def __init__(self, kernel_size, stride=None, padding=0):
         self.kernel_size, self.stride, self.padding = kernel_size, stride, padding

@@ -31,10 +31,14 @@ def _pair(v) -> tuple:
 
 
 def _resolve_padding(padding, kernel, dilation):
-    """torch-style int padding → explicit ((lo,hi),(lo,hi)); also accepts
-    'SAME'/'VALID' strings passed straight to XLA."""
+    """torch-style int padding → explicit ((lo,hi),(lo,hi)); accepts
+    'SAME'/'VALID' strings and explicit ((lo,hi),(lo,hi)) (used by the
+    asymmetric-padding space-to-depth stem)."""
     if isinstance(padding, str):
         return padding
+    if (isinstance(padding, (tuple, list)) and padding
+            and isinstance(padding[0], (tuple, list))):
+        return tuple(tuple(p) for p in padding)
     ph, pw = _pair(padding)
     return ((ph, ph), (pw, pw))
 

@@ -59,3 +59,45 @@ def test_pallas_bf16():
                        3, 2, 1).numpy()
     np.testing.assert_allclose(nchw(np.asarray(out, np.float32)), ref,
                                rtol=1e-2, atol=1e-2)
+
+
+def test_fused_matmul_parity():
+    from convnet_tpu.ops.pallas.matmul_fused import matmul_scale_act
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((100, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 48)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(48).astype(np.float32))
+    shift = jnp.asarray(rng.standard_normal(48).astype(np.float32))
+    out = matmul_scale_act(x, w, scale, shift, act="relu", interpret=True)
+    ref = np.maximum(np.asarray(x) @ np.asarray(w) * np.asarray(scale)
+                     + np.asarray(shift), 0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_convbn_eval_path_matches_xla():
+    """ConvBN 1x1 inference: impl='pallas' (fused MXU kernel) equals the
+    XLA conv→BN→ReLU chain."""
+    from convnet_tpu.models.resnet import ConvBN
+    from convnet_tpu.core.module import Context
+    blk = ConvBN(32, 48, 1)
+    params, state = blk.init(jax.random.PRNGKey(0))
+    # non-trivial BN stats
+    state = {"bn": {"mean": jnp.linspace(-1, 1, 48),
+                    "var": jnp.linspace(0.5, 2.0, 48)}}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32))
+    y_xla, _ = blk(params, state, x, Context(train=False, impl="xla"))
+    y_pal, _ = blk(params, state, x, Context(train=False, impl="pallas"))
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mobilenetv2_eval():
+    from convnet_tpu import models
+    from convnet_tpu.core.module import Context
+    m = models.build("mobilenet_v2", width=0.25)
+    params, state = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    y_xla, _ = m(params, state, x, Context(train=False, impl="xla"))
+    y_pal, _ = m(params, state, x, Context(train=False, impl="pallas"))
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                               rtol=2e-3, atol=2e-3)
