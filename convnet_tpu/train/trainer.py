@@ -234,15 +234,18 @@ class Trainer:
                 logits = logits.reshape(n // d, d, -1).mean(axis=1)
                 y = y.reshape(n // d, d)[:, 0]
                 n = n // d
-            criterion = CrossEntropyLoss(smooth_eps=0.0)
-            loss = criterion(logits, y)
-            c1, c5 = correct_topk(logits, y, (1, 5))
-            count = jnp.float32(n)
+            criterion = CrossEntropyLoss(smooth_eps=0.0, reduction="sum")
+            loss_sum = criterion(logits, y)  # ignore_index=-100 masks padding
+            c1, c5 = correct_topk(logits, y, (1, 5))  # -100 never matches
+            count = jnp.sum((y >= 0).astype(jnp.float32))
             if axis is not None:
-                loss = jax.lax.pmean(loss, axis)
+                # sum-reduce then normalize globally: shards may carry
+                # unequal numbers of valid (non-padding) samples
+                loss_sum = jax.lax.psum(loss_sum, axis)
                 c1 = jax.lax.psum(c1, axis)
                 c5 = jax.lax.psum(c5, axis)
                 count = jax.lax.psum(count, axis)
+            loss = loss_sum / jnp.maximum(count, 1.0)
             return {"loss": loss, "correct1": c1, "correct5": c5,
                     "count": count}
 
@@ -379,8 +382,19 @@ class Trainer:
             self._eval_fn = self._make_eval_step()
         loss_m = AverageMeter()
         acc = AccuracyMeter()
+        pad_to = (self.mesh.shape[self.data_axis] if self.mesh is not None
+                  else 1) * max(self.cfg.duplicates, 1)
         for x, y in loader:
-            x, y = self._shard(jnp.asarray(x), jnp.asarray(y))
+            x, y = jnp.asarray(x), jnp.asarray(y)
+            if x.shape[0] % pad_to:
+                # remainder batch: pad; y=-100 rows are masked out of
+                # loss/accuracy/count inside the eval step
+                extra = pad_to - x.shape[0] % pad_to
+                x = jnp.concatenate(
+                    [x, jnp.zeros((extra,) + x.shape[1:], x.dtype)])
+                y = jnp.concatenate(
+                    [y, jnp.full((extra,), -100, y.dtype)])
+            x, y = self._shard(x, y)
             m = self._eval_fn(params, state, x, y)
             n = int(float(m["count"]))
             loss_m.update(float(m["loss"]), n)

@@ -129,3 +129,26 @@ def test_validate_on_mesh():
     res = tr.validate([(x, y)], params, state)
     assert 0 <= res["prec1"] <= 100
     assert np.isfinite(res["loss"])
+
+
+def test_validate_remainder_batch_on_mesh():
+    """Eval batches not divisible by the mesh size are padded and the
+    padding is masked out of loss/accuracy."""
+    mesh = make_mesh(8)
+    model = models.build("resnet", dataset="cifar10", depth=20)
+    tr = Trainer(model, OptimRegime(model.regime), 10,
+                 TrainerConfig(print_freq=0), mesh=mesh)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state, _ = tr.initialize(params, state)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((13, 32, 32, 3)).astype(np.float32)  # 13 % 8 != 0
+    y = rng.integers(0, 10, (13,)).astype(np.int32)
+    res_mesh = tr.validate([(x, y)], params, state)
+    # must equal the single-device result on the same 13 samples
+    tr1 = Trainer(model, OptimRegime(model.regime), 10,
+                  TrainerConfig(print_freq=0))
+    p1, s1 = model.init(jax.random.PRNGKey(0))
+    p1, s1, _ = tr1.initialize(p1, s1)
+    res_1 = tr1.validate([(x, y)], p1, s1)
+    assert res_mesh["prec1"] == pytest.approx(res_1["prec1"], abs=1e-6)
+    assert res_mesh["loss"] == pytest.approx(res_1["loss"], rel=1e-4)
