@@ -47,10 +47,24 @@ class Conv2d(Module):
                 bkey, (self.out_channels,), policy.param_dtype, -bound, bound)
         return params, {}
 
+    def _pallas_depthwise_ok(self, ctx):
+        if ctx.impl != "pallas" or self.dilation not in (1, (1, 1)):
+            return False
+        if not (self.groups == self.in_channels == self.out_channels):
+            return False
+        s = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 2
+        return max(s) <= 2 and isinstance(self.padding, int)
+
     def __call__(self, params, state, x, ctx: Context):
-        y = ops.conv2d(x, params["w"], stride=self.stride,
-                       padding=self.padding, dilation=self.dilation,
-                       groups=self.groups)
+        if self._pallas_depthwise_ok(ctx):
+            from convnet_tpu.ops.pallas.depthwise import depthwise_conv_pallas
+            y = depthwise_conv_pallas(
+                x, params["w"].astype(x.dtype), self.stride, self.padding,
+                interpret=jax.devices()[0].platform == "cpu")
+        else:
+            y = ops.conv2d(x, params["w"], stride=self.stride,
+                           padding=self.padding, dilation=self.dilation,
+                           groups=self.groups)
         if self.use_bias:
             y = (y.astype(jnp.float32) + params["b"].astype(jnp.float32)).astype(y.dtype)
         return y, state
