@@ -67,16 +67,9 @@ def _build(m, k, n, dtype_name, act, tile_m, tile_n, interpret):
     )
 
 
-def matmul_scale_act(x, w, scale=None, shift=None, act="relu",
-                     tile_m=256, tile_n=256, interpret=False):
-    """``act((x @ w) * scale + shift)`` — x (M, K), w (K, N),
-    scale/shift (N,) fp32 (None → 1/0). M and N are padded to tile
-    multiples (padding rows/cols are sliced off)."""
+def _forward(x, w, scale, shift, act, tile_m, tile_n, interpret):
     m, k = x.shape
     n = w.shape[1]
-    scale = jnp.ones(n, jnp.float32) if scale is None else scale.astype(jnp.float32)
-    shift = jnp.zeros(n, jnp.float32) if shift is None else shift.astype(jnp.float32)
-
     tile_m = min(tile_m, _round_up(m, 8))
     tile_n = min(tile_n, _round_up(n, 128))
     mp = _round_up(m, tile_m)
@@ -85,10 +78,51 @@ def matmul_scale_act(x, w, scale=None, shift=None, act="relu",
     wp = jnp.pad(w, ((0, 0), (0, np_ - n))) if np_ != n else w
     sp = jnp.pad(scale, (0, np_ - n)) if np_ != n else scale
     bp = jnp.pad(shift, (0, np_ - n)) if np_ != n else shift
-
     call = _build(mp, k, np_, str(x.dtype), act, tile_m, tile_n, interpret)
     out = call(xp, wp.astype(x.dtype), sp.reshape(1, -1), bp.reshape(1, -1))
     return out[:m, :n]
+
+
+@lru_cache(maxsize=None)
+def _make_op(act, tile_m, tile_n, interpret):
+    @jax.custom_vjp
+    def op(x, w, scale, shift):
+        return _forward(x, w, scale, shift, act, tile_m, tile_n, interpret)
+
+    def fwd(x, w, scale, shift):
+        y = _forward(x, w, scale, shift, act, tile_m, tile_n, interpret)
+        return y, (x, w, scale, y)
+
+    def bwd(res, dy):
+        x, w, scale, y = res
+        dy = dy.astype(jnp.float32)
+        if act == "relu":
+            dy = dy * (y > 0)
+        elif act == "relu6":
+            dy = dy * ((y > 0) & (y < 6))
+        r = (dy * scale).astype(x.dtype)           # d(acc)
+        dx = jnp.matmul(r, w.astype(x.dtype).T)
+        dw = jnp.matmul(x.T, r).astype(w.dtype)
+        # dscale needs the pre-scale accumulator: recompute one matmul
+        acc = jnp.matmul(x, w.astype(x.dtype)).astype(jnp.float32)
+        dscale = jnp.sum(dy * acc, axis=0)
+        dshift = jnp.sum(dy, axis=0)
+        return dx.astype(x.dtype), dw, dscale, dshift
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def matmul_scale_act(x, w, scale=None, shift=None, act="relu",
+                     tile_m=256, tile_n=256, interpret=False):
+    """``act((x @ w) * scale + shift)`` — x (M, K), w (K, N),
+    scale/shift (N,) fp32 (None → 1/0). M and N are padded to tile
+    multiples (padding rows/cols are sliced off). Differentiable
+    (custom VJP; backward via XLA matmuls)."""
+    n = w.shape[1]
+    scale = jnp.ones(n, jnp.float32) if scale is None else scale.astype(jnp.float32)
+    shift = jnp.zeros(n, jnp.float32) if shift is None else shift.astype(jnp.float32)
+    return _make_op(act, tile_m, tile_n, interpret)(x, w, scale, shift)
 
 
 def conv1x1_bn_act(x, w, scale=None, shift=None, act="relu",
