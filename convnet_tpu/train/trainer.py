@@ -148,20 +148,31 @@ class Trainer:
             if chunks > 1:
                 xc = x.reshape(chunks, b // chunks, *x.shape[1:])
                 yc = y.reshape(chunks, b // chunks, *y.shape[1:])
-                grads = None
-                loss_sum = 0.0
-                c1 = c5 = 0.0
-                for i in range(chunks):
+
+                def chunk_step(carry, inputs):
+                    state, rng, gacc, lacc, c1a, c5a = carry
+                    xi, yi = inputs
                     rng, k = jax.random.split(rng)
                     (loss, (state, logits)), g = grad_fn(
-                        params, state, xc[i], yc[i], k, axis)
-                    grads = g if grads is None else jax.tree_util.tree_map(
-                        jnp.add, grads, g)
-                    loss_sum = loss_sum + loss
-                    cc1, cc5 = correct_topk(logits, yc[i], (1, 5))
-                    c1, c5 = c1 + cc1, c5 + cc5
-                grads = jax.tree_util.tree_map(lambda g_: g_ / chunks, grads)
-                loss = loss_sum / chunks
+                        params, state, xi, yi, k, axis)
+                    gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+                    cc1, cc5 = correct_topk(logits, yi, (1, 5))
+                    return (state, rng, gacc, lacc + loss, c1a + cc1,
+                            c5a + cc5), None
+
+                # lax.scan: one traced chunk body regardless of chunk
+                # count (flat compile time); gradients accumulate in the
+                # carry (flat memory); BN state threads sequentially
+                # through chunks like the reference's per-chunk loop
+                gzero = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (state, rng, grads, loss, c1, c5), _ = jax.lax.scan(
+                    chunk_step,
+                    (state, rng, gzero, jnp.float32(0), jnp.float32(0),
+                     jnp.float32(0)),
+                    (xc, yc))
+                grads = jax.tree_util.tree_map(
+                    lambda g_: g_ / chunks, grads)
+                loss = loss / chunks
             else:
                 rng, k = jax.random.split(rng)
                 (loss, (state, logits)), grads = grad_fn(
