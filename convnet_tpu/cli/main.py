@@ -35,6 +35,8 @@ def build_parser():
     p.add_argument("--input-size", type=int, default=None)
     p.add_argument("-j", "--workers", type=int, default=8)
     p.add_argument("--autoaugment", action="store_true")
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable training-time augmentation")
     p.add_argument("--cutout", action="store_true")
     p.add_argument("--duplicates", type=int, default=1,
                    help="batch augmentation: times each sample appears")
@@ -212,6 +214,8 @@ def main(argv=None):
         "autoaugment": args.autoaugment,
         "cutout": {"length": 8} if args.cutout else None,
     }
+    if args.no_augment:
+        defaults["augment"] = False
     if args.input_size:
         defaults["input_size"] = args.input_size
     train_data = DataRegime(getattr(model, "data_regime", None),

@@ -44,8 +44,19 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Shard leading (batch) axis of each leaf across the data axis."""
+    """Shard the leading (batch) axis of each leaf across the data axis.
+
+    Single-host: a plain device_put with a NamedSharding. Multi-host:
+    each process holds only its LOCAL slice of the global batch (the
+    loader already applied per-host sharding), so the global array is
+    assembled from process-local data — the jax.Array analog of the
+    reference's DistributedSampler + per-rank batches.
+    """
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
