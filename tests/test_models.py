@@ -143,3 +143,23 @@ def test_checkpoint_module_equivalence():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5), g1, g2)
+
+
+def test_space_to_depth_roundtrip():
+    from convnet_tpu.nn.layers import SpaceToDepth
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    y, _ = SpaceToDepth(2)({}, {}, x, None)
+    assert y.shape == (2, 4, 4, 12)
+    # every input value present exactly once
+    np.testing.assert_array_equal(np.sort(np.asarray(y).ravel()),
+                                  np.sort(np.asarray(x).ravel()))
+
+
+def test_resnet_s2d_stem_forward():
+    m = models.build("resnet", depth=18, stem="s2d")
+    params, state = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    y, _ = m(params, state, x, Context(train=True,
+                                       rng=jax.random.PRNGKey(2)))
+    assert y.shape == (2, 1000)
+    assert np.isfinite(np.asarray(y)).all()
