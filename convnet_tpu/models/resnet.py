@@ -208,6 +208,17 @@ class ResNet_imagenet(ResNet):
         self.fc = Linear(inplanes, num_classes)
         self.input_size = 224
         self.regime = self._make_regime(regime, batch_size, epochs)
+        if regime == "mixmatch":
+            # "Mix & Match" progressive resizing: the model authors its
+            # own data-pipeline schedule (SURVEY.md §1 — model-owned
+            # data_regime); smaller images early, full size for the
+            # final third. Eval always runs at full resolution.
+            self.data_regime = [
+                {"epoch": 0, "input_size": 128},
+                {"epoch": int(epochs * 0.3), "input_size": 160},
+                {"epoch": int(epochs * 0.6), "input_size": 192},
+                {"epoch": int(epochs * 0.8), "input_size": 224},
+            ]
 
     def _make_regime(self, name, batch_size, epochs):
         wd = weight_decay_config(1e-4)
@@ -231,6 +242,16 @@ class ResNet_imagenet(ResNet):
                 {"epoch": 30, "lr": 0.01 * batch_size / 256},
                 {"epoch": 60, "lr": 0.001 * batch_size / 256},
                 {"epoch": 80, "lr": 0.0001 * batch_size / 256},
+            ]
+        if name == "mixmatch":
+            # optimizer schedule identical to 'normal'; the data_regime
+            # (set in __init__) carries the resizing schedule
+            return [
+                {"epoch": 0, "optimizer": "SGD", "lr": 0.1, "momentum": 0.9,
+                 "regularizer": wd},
+                {"epoch": 30, "lr": 1e-2},
+                {"epoch": 60, "lr": 1e-3},
+                {"epoch": 80, "lr": 1e-4},
             ]
         if name == "cosine":
             steps_per_epoch = max(1281167 // batch_size, 1)

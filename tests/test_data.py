@@ -154,3 +154,19 @@ def test_autoaugment_policies_run():
         for _ in range(10):
             out = policy(img, rng)
             assert out.size == img.size
+
+
+def test_model_authored_data_regime():
+    """models may author their own data-pipeline schedule (Mix & Match
+    progressive resizing) — DataRegime resolves it over epochs."""
+    from convnet_tpu import models
+    m = models.build("resnet", depth=18, regime="mixmatch", epochs=90)
+    assert hasattr(m, "data_regime")
+    dr = DataRegime(m.data_regime, defaults={
+        "name": "synthetic_imagenet", "batch_size": 4, "num_workers": 2,
+        "dataset_kwargs": {"size": 8, "image_size": 96}})
+    x, _ = next(iter(dr.get_loader()))
+    assert x.shape[1] == 128 or x.shape[1] == 96  # host RRC to 128 req
+    dr.set_epoch(80)
+    x, _ = next(iter(dr.get_loader()))
+    assert x.shape[1] == 224
