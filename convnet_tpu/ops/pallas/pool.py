@@ -147,7 +147,7 @@ def _build(kernel, stride, padding, shape, dtype_name, interpret):
     # first grid=(b, chunks) design: 1792 tiny programs ran 10x slower
     # than XLA); a fori_loop walks row chunks so Mosaic's no-reuse
     # scoped-VMEM stack only holds one chunk's temporaries
-    f_chunk = _chunk_of(h_out, 8)
+    f_chunk = _chunk_of(h_out, 4)
     n_f = h_out // f_chunk
     f_in_rows = (f_chunk - 1) * sh + kh
     hp = h + 2 * ph
@@ -204,7 +204,7 @@ def _build(kernel, stride, padding, shape, dtype_name, interpret):
     # ---------------- backward ------------------------------------
     qh = (kh - 1) // sh
     qw = (kw - 1) // sw
-    b_chunk = _chunk_of(h, 16)
+    b_chunk = _chunk_of(h, 8)
     n_b = h // b_chunk
     n_dy = min(h_out, (b_chunk + kh - 2) // sh + 2)
     merged_rows = (n_dy + qh) * sh

@@ -1,0 +1,85 @@
+"""Inference engine — the deployment path.
+
+The reference's serving story is ``--evaluate`` + ``absorb_bn``
+(main.py evaluate branch, SURVEY.md §3.2); this wraps it as a reusable
+``Predictor``: checkpoint → BN-folded params → one jitted batched
+forward (bf16 by default, Pallas fused pointwise kernels on TPU), with
+automatic padding to a fixed compiled batch shape so arbitrary request
+sizes never trigger recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_tpu import models
+from convnet_tpu.core.dtypes import get_policy
+from convnet_tpu.core.module import Context
+from convnet_tpu.utils.absorb_bn import search_absorb_bn
+from convnet_tpu.utils.checkpoint import load_checkpoint
+
+
+class Predictor:
+    def __init__(self, model_name: str, model_config: Optional[dict] = None,
+                 checkpoint: Optional[str] = None, dtype: str = "bf16",
+                 batch_size: int = 64, absorb_bn: bool = True,
+                 impl: Optional[str] = None):
+        self.model = models.build(model_name, **(model_config or {}))
+        self.policy = get_policy(dtype)
+        self.batch_size = batch_size
+        if impl is None:
+            impl = "pallas" if jax.devices()[0].platform not in ("cpu",) else "xla"
+        self.impl = impl
+
+        if checkpoint:
+            ckpt = load_checkpoint(checkpoint)
+            params, state = ckpt["params"], ckpt["state"]
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+            state = jax.tree_util.tree_map(jnp.asarray, state)
+        else:
+            params, state = self.model.init(jax.random.PRNGKey(0), self.policy)
+        if absorb_bn:
+            params, state = search_absorb_bn(params, state)
+        self.params = jax.device_put(params)
+        self.state = jax.device_put(state)
+
+        model = self.model
+        policy = self.policy
+
+        @jax.jit
+        def forward(params, state, x):
+            ctx = Context(train=False, policy=policy, impl=self.impl)
+            logits, _ = model(params, state, policy.cast_to_compute(x), ctx)
+            return logits.astype(jnp.float32)
+
+        self._forward = forward
+
+    def predict_logits(self, x) -> np.ndarray:
+        """x: (N, H, W, C) float/uint8; any N — batched/padded internally."""
+        x = np.asarray(x)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        n = x.shape[0]
+        outs = []
+        for i in range(0, n, self.batch_size):
+            chunk = x[i:i + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            logits = self._forward(self.params, self.state,
+                                   jnp.asarray(chunk))
+            outs.append(np.asarray(logits)[:self.batch_size - pad or None])
+        return np.concatenate(outs)[:n]
+
+    def predict(self, x, topk: int = 1):
+        logits = self.predict_logits(x)
+        idx = np.argsort(-logits, axis=-1)[:, :topk]
+        return idx if topk > 1 else idx[:, 0]
+
+    def __call__(self, x):
+        return self.predict_logits(x)
