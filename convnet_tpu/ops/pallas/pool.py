@@ -195,11 +195,21 @@ def _build(kernel, stride, padding, shape, dtype_name, interpret):
         interpret=interpret,
     )
 
-    def run_fwd(x):
+    def run_fwd_pallas(x):
         neg = jnp.asarray(_NEG, x.dtype)
         xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
                      constant_values=neg) if (ph or pw) else x
         return fwd_call(xp)
+
+    def run_fwd(x):
+        # HYBRID (measured on v5e, B=256 112²×64): XLA's strided-slice
+        # argmax forward runs at ~3 ms while the Pallas forward pays
+        # ~21 ms in Mosaic sublane relayouts for its 9 parity-reshape
+        # taps; the Pallas BACKWARD however is ~2× faster than XLA's
+        # (10 ms vs ~20 ms). So: XLA forward + Pallas backward.
+        from convnet_tpu.ops.pool import _mp_fwd_argmax
+        out, idx8 = _mp_fwd_argmax(x, kernel, stride, padding)
+        return out, idx8.astype(jnp.int32)
 
     # ---------------- backward ------------------------------------
     qh = (kh - 1) // sh
