@@ -143,49 +143,39 @@ def _build(kernel, stride, padding, shape, dtype_name, interpret):
     wp = w + 2 * pw
 
     # ---------------- forward -------------------------------------
-    # one program per image (per-program launch overhead dominated the
-    # first grid=(b, chunks) design: 1792 tiny programs ran 10x slower
-    # than XLA); a fori_loop walks row chunks so Mosaic's no-reuse
-    # scoped-VMEM stack only holds one chunk's temporaries
-    f_chunk = _chunk_of(h_out, 4)
+    f_chunk = _chunk_of(h_out, 8)
     n_f = h_out // f_chunk
     f_in_rows = (f_chunk - 1) * sh + kh
-    hp = h + 2 * ph
 
-    def fwd_body(xp_ref, out_ref, idx_ref):
-        def one_chunk(i, _):
-            r0 = i * f_chunk
-            in0 = r0 * sh  # even for sh=2 → static tap parity below
-            x = xp_ref[0, pl.ds(in0, f_in_rows), :, :].astype(jnp.float32)
-            out = None
-            idx = None
-            for di in range(kh):
-                rows = _parity_tap(x, 0, di, sh, f_chunk, _NEG)
-                for dj in range(kw):
-                    t = di * kw + dj
-                    patch = _parity_tap(rows, 1, dj, sw, w_out, _NEG)
-                    if out is None:
-                        out = patch
-                        idx = jnp.zeros(patch.shape, jnp.int32)
-                    else:
-                        better = patch > out
-                        out = jnp.where(better, patch, out)
-                        idx = jnp.where(better, jnp.int32(t), idx)
-            out_ref[0, pl.ds(r0, f_chunk), :, :] = out.astype(out_ref.dtype)
-            idx_ref[0, pl.ds(r0, f_chunk), :, :] = idx
-            return 0
-
-        jax.lax.fori_loop(0, n_f, one_chunk, 0)
+    def fwd_body(xw_ref, out_ref, idx_ref):
+        x = xw_ref[0, 0].astype(jnp.float32)
+        out = None
+        idx = None
+        for di in range(kh):
+            rows = _parity_tap(x, 0, di, sh, f_chunk, _NEG)
+            for dj in range(kw):
+                t = di * kw + dj
+                patch = _parity_tap(rows, 1, dj, sw, w_out, _NEG)
+                if out is None:
+                    out = patch
+                    idx = jnp.zeros(patch.shape, jnp.int32)
+                else:
+                    better = patch > out
+                    out = jnp.where(better, patch, out)
+                    idx = jnp.where(better, jnp.int32(t), idx)
+        out_ref[0] = out.astype(out_ref.dtype)
+        idx_ref[0] = idx
 
     fwd_call = pl.pallas_call(
         fwd_body,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+        grid=(b, n_f),
+        in_specs=[pl.BlockSpec((1, 1, f_in_rows, wp, c),
+                               lambda i, j: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, h_out, w_out, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, f_chunk, w_out, c), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_out, w_out, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, f_chunk, w_out, c), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -199,14 +189,20 @@ def _build(kernel, stride, padding, shape, dtype_name, interpret):
         neg = jnp.asarray(_NEG, x.dtype)
         xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
                      constant_values=neg) if (ph or pw) else x
-        return fwd_call(xp)
+        xw = _windows(xp, 1, [j * f_chunk * sh for j in range(n_f)],
+                      f_in_rows)
+        return fwd_call(xw)
 
     def run_fwd(x):
-        # HYBRID (measured on v5e, B=256 112²×64): XLA's strided-slice
-        # argmax forward runs at ~3 ms while the Pallas forward pays
-        # ~21 ms in Mosaic sublane relayouts for its 9 parity-reshape
-        # taps; the Pallas BACKWARD however is ~2× faster than XLA's
-        # (10 ms vs ~20 ms). So: XLA forward + Pallas backward.
+        # HYBRID (measured on v5e, B=256 112²×64 bf16):
+        #   forward:  XLA strided-slice argmax ~3 ms; the Pallas forward
+        #             pays ~21 ms in Mosaic sublane relayouts for its
+        #             parity-reshape taps → use XLA.
+        #   backward: this windowed many-small-programs Pallas kernel
+        #             ~10 ms vs XLA's ~20 ms (select-free reassembly)
+        #             → use Pallas. (A fori_loop whole-image variant was
+        #             ~55 ms: per-chunk relayouts dominate when one
+        #             program walks many chunks.)
         from convnet_tpu.ops.pool import _mp_fwd_argmax
         out, idx8 = _mp_fwd_argmax(x, kernel, stride, padding)
         return out, idx8.astype(jnp.int32)
@@ -214,11 +210,18 @@ def _build(kernel, stride, padding, shape, dtype_name, interpret):
     # ---------------- backward ------------------------------------
     qh = (kh - 1) // sh
     qw = (kw - 1) // sw
-    b_chunk = _chunk_of(h, 8)
+    b_chunk = _chunk_of(h, 16)
     n_b = h // b_chunk
     n_dy = min(h_out, (b_chunk + kh - 2) // sh + 2)
     merged_rows = (n_dy + qh) * sh
     crop_rows = merged_rows + b_chunk + 2 * sh
+
+    def oy_lo_of(r0):
+        ideal = -((-(r0 + ph - kh + 1)) // sh)       # ceil division
+        return min(max(ideal, 0), h_out - n_dy)
+
+    oy_los = [oy_lo_of(j * b_chunk) for j in range(n_b)]
+    los = [j * b_chunk + ph - sh * oy_los[j] for j in range(n_b)]
 
     def cols_for_row_tap(dy, idx, di):
         col_planes = []
@@ -234,57 +237,64 @@ def _build(kernel, stride, padding, shape, dtype_name, interpret):
             col_planes.append(acc)
         return _interleave_static(col_planes, 1, pw, w)
 
-    def bwd_body(dy_ref, idx_ref, dx_ref, crop):
-        def one_chunk(j, _):
-            r0 = j * b_chunk
-            ideal = -((-(r0 + ph - kh + 1)) // sh)       # ceil division
-            oy_lo = jnp.clip(ideal, 0, h_out - n_dy)
-            dy = dy_ref[0, pl.ds(oy_lo, n_dy), :, :].astype(jnp.float32)
-            idx = idx_ref[0, pl.ds(oy_lo, n_dy), :, :]
-            row_terms = [cols_for_row_tap(dy, idx, di) for di in range(kh)]
-            row_planes = []
-            for rr in range(sh):
-                acc = None
-                for di in range(rr, kh, sh):
-                    s = _shift(row_terms[di], 0, di // sh, qh - di // sh)
-                    acc = s if acc is None else acc + s
-                if acc is None:
-                    acc = jnp.zeros((row_terms[0].shape[0] + qh, w, c),
-                                    jnp.float32)
-                row_planes.append(acc)
-            stacked = jnp.stack(row_planes, axis=1)
-            shp = list(stacked.shape)
-            shp[0:2] = [shp[0] * shp[1]]
-            merged = stacked.reshape(shp)
-            # dynamic crop [lo, lo+b_chunk) via scratch (no value dyn-slice)
-            crop[pl.ds(0, merged_rows), :, :] = merged
-            crop[pl.ds(merged_rows, crop_rows - merged_rows), :, :] = \
-                jnp.zeros((crop_rows - merged_rows, w, c), jnp.float32)
-            lo = r0 + ph - sh * oy_lo
-            dx_ref[0, pl.ds(r0, b_chunk), :, :] = \
-                crop[pl.ds(lo, b_chunk), :, :].astype(dx_ref.dtype)
-            return 0
+    # per-chunk crop offsets, prefetched to SMEM via the index table.
+    # numpy here: a jnp constant built during a caller's trace would be
+    # cached by lru_cache and leak the tracer into later traces
+    import numpy as _np
+    lo_table = _np.asarray(los, _np.int32)
 
-        jax.lax.fori_loop(0, n_b, one_chunk, 0)
+    def bwd_body(lo_ref, dyw_ref, idxw_ref, dx_ref, crop):
+        j = pl.program_id(1)
+        dy = dyw_ref[0, 0].astype(jnp.float32)
+        idx = idxw_ref[0, 0]
+        row_terms = [cols_for_row_tap(dy, idx, di) for di in range(kh)]
+        row_planes = []
+        for rr in range(sh):
+            acc = None
+            for di in range(rr, kh, sh):
+                s = _shift(row_terms[di], 0, di // sh, qh - di // sh)
+                acc = s if acc is None else acc + s
+            if acc is None:
+                acc = jnp.zeros((row_terms[0].shape[0] + qh, w, c),
+                                jnp.float32)
+            row_planes.append(acc)
+        stacked = jnp.stack(row_planes, axis=1)
+        shp = list(stacked.shape)
+        shp[0:2] = [shp[0] * shp[1]]
+        merged = stacked.reshape(shp)
+        # dynamic crop [lo, lo+b_chunk) via scratch (no value dyn-slice)
+        crop[pl.ds(0, merged_rows), :, :] = merged
+        crop[pl.ds(merged_rows, crop_rows - merged_rows), :, :] = jnp.zeros(
+            (crop_rows - merged_rows, w, c), jnp.float32)
+        lo = lo_ref[j]
+        dx_ref[0] = crop[pl.ds(lo, b_chunk), :, :].astype(dx_ref.dtype)
 
     bwd_call = pl.pallas_call(
         bwd_body,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h_out, w_out, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_out, w_out, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_b),
+            in_specs=[
+                pl.BlockSpec((1, 1, n_dy, w_out, c),
+                             lambda i, j, lo_ref: (i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_dy, w_out, c),
+                             lambda i, j, lo_ref: (i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, b_chunk, w, c),
+                                   lambda i, j, lo_ref: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((crop_rows, w, c), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), dtype),
-        scratch_shapes=[pltpu.VMEM((crop_rows, w, c), jnp.float32)],
         interpret=interpret,
     )
 
     def run_bwd(idx, dy):
-        return bwd_call(dy.astype(dtype), idx)
+        dyw = _windows(dy, 1, oy_los, n_dy)
+        idxw = _windows(idx, 1, oy_los, n_dy)
+        return bwd_call(jnp.asarray(lo_table), dyw.astype(dtype), idxw)
 
     @jax.custom_vjp
     def mp(x):
