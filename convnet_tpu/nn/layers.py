@@ -48,6 +48,14 @@ class Conv2d(Module):
         return params, {}
 
     def _pallas_depthwise_ok(self, ctx):
+        # opt-in (CONVNET_TPU_PALLAS_DEPTHWISE=1): measured on v5e,
+        # XLA's depthwise conv is ~6x faster than the Pallas kernel at
+        # MobileNet-V2 scale (parity-reshape relayouts dominate); the
+        # kernel stays available and tested as the escape hatch for
+        # backends where XLA's depthwise lowering is weak.
+        import os
+        if os.environ.get("CONVNET_TPU_PALLAS_DEPTHWISE") != "1":
+            return False
         if ctx.impl != "pallas" or self.dilation not in (1, (1, 1)):
             return False
         if not (self.groups == self.in_channels == self.out_channels):

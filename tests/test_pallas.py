@@ -144,6 +144,8 @@ def test_pallas_mobilenet_grads_match_xla():
     through rsqrt across 13 layers, making train-mode comparison
     ill-conditioned even between two correct implementations (the
     depthwise kernel itself is verified against torch above)."""
+    import os
+    os.environ["CONVNET_TPU_PALLAS_DEPTHWISE"] = "1"
     from convnet_tpu import models
     from convnet_tpu.core.module import Context
     m = models.build("mobilenet", width=0.25)
@@ -167,3 +169,4 @@ def test_pallas_mobilenet_grads_match_xla():
         np.testing.assert_allclose(np.asarray(b) / denom,
                                    np.asarray(a) / denom,
                                    rtol=0, atol=5e-3, err_msg=str(path_a))
+    os.environ.pop("CONVNET_TPU_PALLAS_DEPTHWISE", None)
