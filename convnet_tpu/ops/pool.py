@@ -14,6 +14,8 @@ k² ≤ 9 terms.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -172,7 +174,11 @@ def max_pool2d(x, kernel, stride=None, padding=0, impl="xla"):
     kernel = _pair(kernel)
     stride = _pair(stride)
     padding = _pair(padding)
-    if impl == "pallas":
+    if impl == "pallas" and os.environ.get("CONVNET_TPU_PALLAS_POOL") == "1":
+        # opt-in: measured on v5e (scripts/PERF_NOTES.md), the XLA
+        # argmax-forward + interleave-backward below outperforms the
+        # Pallas kernels at ResNet scale; the kernels remain available
+        # for backends with weak select-and-scatter lowering.
         from convnet_tpu.ops.pallas import pool as ppool
         if ppool.supported(x.shape, kernel, stride, padding):
             interpret = jax.devices()[0].platform == "cpu"

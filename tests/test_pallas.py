@@ -41,12 +41,15 @@ def test_pallas_maxpool_parity(k, s, p, shape):
 def test_pallas_impl_routing():
     """ops.max_pool2d(impl='pallas') returns the same values as the XLA
     path (on CPU the pallas path runs in interpret mode)."""
+    import os
+    os.environ["CONVNET_TPU_PALLAS_POOL"] = "1"
     from convnet_tpu import ops
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)).astype(np.float32))
     a = ops.max_pool2d(x, 3, 2, 1, impl="xla")
     b = ops.max_pool2d(x, 3, 2, 1, impl="pallas")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    os.environ.pop("CONVNET_TPU_PALLAS_POOL", None)
 
 
 def test_pallas_bf16():
