@@ -7,7 +7,7 @@ embedded policy attributes: ``.regime`` (optimizer schedule), optional
 ``.data_regime`` / ``.data_eval_regime``, and ``.input_size``.
 """
 
-from convnet_tpu.models.resnet import resnet, resnet_se, ResNet_imagenet, ResNet_cifar
+from convnet_tpu.models.resnet import (resnet, resnet_se, resnext, wide_resnet, ResNet_imagenet, ResNet_cifar)
 from convnet_tpu.models.resnet_zi import resnet_zi
 from convnet_tpu.models.alexnet import alexnet
 from convnet_tpu.models.mobilenet import mobilenet
@@ -20,6 +20,8 @@ from convnet_tpu.models.densenet import densenet
 REGISTRY = {
     "resnet": resnet,
     "resnet_se": resnet_se,
+    "resnext": resnext,
+    "wide_resnet": wide_resnet,
     "resnet_zi": resnet_zi,
     "alexnet": alexnet,
     "mobilenet": mobilenet,

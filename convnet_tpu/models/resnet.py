@@ -323,3 +323,29 @@ def resnet(**config):
 def resnet_se(**config):
     config.setdefault("se_reduction", 16)
     return resnet(**config)
+
+
+class ResNeXtBottleneck(Bottleneck):
+    """ResNeXt bottleneck: wide grouped 3×3 with expansion 2
+    (so 32×4d stage widths 128/256/512/1024 → outputs 256/…/2048)."""
+    expansion = 2
+
+
+def resnext(**config):
+    """ResNeXt (the reference's width/groups knobs on models/resnet.py;
+    cardinality 32, 32×4d widths by default)."""
+    config.setdefault("groups", 32)
+    config.setdefault("depth", 50)
+    config.setdefault("width", [128, 256, 512, 1024])
+    config.setdefault("block", ResNeXtBottleneck)
+    config.setdefault("layers", ResNet_imagenet.DEPTHS[config["depth"]][1])
+    return resnet(**config)
+
+
+def wide_resnet(**config):
+    """Wide ResNet for CIFAR (width_factor-scaled ResNet_cifar — the
+    reference's 'wide variants', SURVEY.md §2.2). depth obeys 6n+2."""
+    config.setdefault("dataset", "cifar10")
+    config.setdefault("width_factor", 4)
+    config.setdefault("depth", 26)
+    return resnet(**config)
