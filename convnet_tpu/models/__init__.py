@@ -16,6 +16,7 @@ from convnet_tpu.models.googlenet import googlenet
 from convnet_tpu.models.vgg import vgg
 from convnet_tpu.models.mnist import mnist_model
 from convnet_tpu.models.densenet import densenet
+from convnet_tpu.models.inception import inception_v3
 
 REGISTRY = {
     "resnet": resnet,
@@ -30,6 +31,7 @@ REGISTRY = {
     "vgg": vgg,
     "mnist": mnist_model,
     "densenet": densenet,
+    "inception_v3": inception_v3,
 }
 
 

@@ -163,3 +163,14 @@ def test_resnet_s2d_stem_forward():
                                        rng=jax.random.PRNGKey(2)))
     assert y.shape == (2, 1000)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_inception_v3():
+    m = models.build("inception_v3")
+    params, state = m.init(jax.random.PRNGKey(0))
+    assert param_count(params) == 23_834_568  # canonical (no aux head)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 299, 299, 3))
+    y, _ = m(params, state, x, Context(train=True,
+                                       rng=jax.random.PRNGKey(2)))
+    assert y.shape == (2, 1000)
+    assert np.isfinite(np.asarray(y)).all()
