@@ -250,12 +250,20 @@ def main(argv=None):
     results = ResultsLog(save_path, title=f"{args.model} on {args.dataset}")
     for epoch in range(start_epoch, args.epochs):
         train_data.set_epoch(epoch, trainer.training_steps)
-        if args.profile and epoch == start_epoch:
-            jax.profiler.start_trace(os.path.join(save_path, "profile"))
+        profiling = args.profile and epoch == start_epoch
+        if profiling:
+            try:
+                jax.profiler.start_trace(os.path.join(save_path, "profile"))
+            except Exception as e:  # device-side tracing may be
+                log.warning("profiler unavailable: %s", e)  # unsupported
+                profiling = False
         params, state, opt_state, train_res = trainer.train_epoch(
             train_data.get_loader(), params, state, opt_state, epoch)
-        if args.profile and epoch == start_epoch:
-            jax.profiler.stop_trace()
+        if profiling:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:
+                log.warning("profiler stop failed: %s", e)
 
         val_data.set_epoch(epoch)
         val_res = trainer.validate(val_data.get_loader(), params, state)

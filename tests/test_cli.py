@@ -1,0 +1,81 @@
+"""CLI driver integration tests (SURVEY.md §3.1 call stack end-to-end)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from convnet_tpu.cli.main import main, build_parser
+
+
+def _run(tmp_path, *extra):
+    return main([
+        "--dataset", "synthetic", "--model", "resnet",
+        "--model-config", "{'depth': 20}",
+        "-b", "16", "--epochs", "1", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "t",
+        *extra,
+    ])
+
+
+def test_train_produces_artifacts(tmp_path):
+    res = _run(tmp_path)
+    assert "best_prec1" in res
+    d = tmp_path / "t"
+    for f in ("checkpoint.npz", "args.json", "log.txt", "results.csv",
+              "results.json"):
+        assert (d / f).exists(), f
+    rows = json.loads((d / "results.json").read_text())
+    assert rows[0]["epoch"] == 0
+    assert np.isfinite(rows[0]["train_loss"])
+
+
+def test_resume_continues(tmp_path):
+    _run(tmp_path)
+    res = main([
+        "--dataset", "synthetic", "--model", "resnet",
+        "--model-config", "{'depth': 20}",
+        "-b", "16", "--epochs", "2", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "t",
+        "--resume", str(tmp_path / "t"),
+    ])
+    rows = json.loads((tmp_path / "t" / "results.json").read_text())
+    assert rows[-1]["epoch"] == 1  # resumed at epoch 1
+
+
+def test_evaluate_checkpoint(tmp_path):
+    _run(tmp_path)
+    res = main([
+        "--dataset", "synthetic", "--model", "resnet",
+        "--model-config", "{'depth': 20}",
+        "-b", "16", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "t-eval",
+        "--evaluate", str(tmp_path / "t" / "model_best.npz"),
+    ])
+    assert np.isfinite(res["loss"])
+
+
+def test_feature_flags_run(tmp_path):
+    res = _run(tmp_path, "--mixup", "0.2", "--label-smoothing", "0.1",
+               "--cutout", "--dtype", "bf16", "--grad-clip", "5",
+               "--tensorwatch")
+    assert "best_prec1" in res
+    watch = tmp_path / "t" / "watch.jsonl"
+    assert watch.exists()
+    lines = [json.loads(l) for l in watch.read_text().splitlines()]
+    assert lines and "loss" in lines[0]
+
+
+def test_parser_covers_reference_flags():
+    """The reference CLI's capability flags all exist (SURVEY.md §5.6)."""
+    parser = build_parser()
+    opts = {o for a in parser._actions for o in a.option_strings}
+    for flag in ["--model", "--dataset", "--model-config", "--batch-size",
+                 "--epochs", "--resume", "--evaluate", "--seed", "--dtype",
+                 "--label-smoothing", "--mixup", "--cutmix", "--duplicates",
+                 "--chunk-batch", "--grad-clip", "--adapt-grad-norm",
+                 "--autoaugment", "--cutout", "--workers", "--print-freq",
+                 "--save", "--results-dir", "--save-all", "--loss-scale",
+                 "--sync-bn", "--dist-init", "--input-size"]:
+        assert flag in opts, flag
