@@ -17,11 +17,9 @@ import argparse
 import ast
 import logging
 import os
-import time
 from datetime import datetime
 
 import jax
-import numpy as np
 
 log = logging.getLogger(__name__)
 

@@ -26,10 +26,9 @@ equivalent.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from convnet_tpu.core.dtypes import Policy, DEFAULT_POLICY
 

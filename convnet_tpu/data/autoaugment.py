@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import random
 
-import numpy as np
 from PIL import Image, ImageEnhance, ImageOps
 
 _FILL = (128, 128, 128)

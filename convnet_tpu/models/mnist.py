@@ -2,7 +2,7 @@
 
 from convnet_tpu.core.module import Module, Sequential, Context
 from convnet_tpu.nn import (
-    Conv2d, BatchNorm2d, Linear, ReLU, MaxPool2d, Dropout, Flatten,
+    Conv2d, Linear, ReLU, MaxPool2d, Dropout, Flatten,
 )
 
 

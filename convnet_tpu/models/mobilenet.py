@@ -9,7 +9,7 @@ Pallas path").
 """
 
 from convnet_tpu.core.module import Module, Sequential, Context
-from convnet_tpu.nn import Conv2d, BatchNorm2d, Linear, ReLU, GlobalAvgPool
+from convnet_tpu.nn import Linear, GlobalAvgPool
 from convnet_tpu.models.resnet import ConvBN, weight_decay_config
 from convnet_tpu.regimes import schedules
 

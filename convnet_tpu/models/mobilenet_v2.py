@@ -9,7 +9,7 @@ rather than to a reference file.
 import jax
 
 from convnet_tpu.core.module import Module, Sequential, Context
-from convnet_tpu.nn import Conv2d, BatchNorm2d, Linear, ReLU6, GlobalAvgPool, Dropout
+from convnet_tpu.nn import Linear, GlobalAvgPool, Dropout
 from convnet_tpu.models.resnet import weight_decay_config
 from convnet_tpu.regimes import schedules
 

@@ -16,15 +16,12 @@ fused kernels when ``ctx.impl == 'pallas'``.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import jax
 
 from convnet_tpu.core import initializers as init
 from convnet_tpu.core.module import Module, Sequential, Context
 from convnet_tpu.nn import (
-    Conv2d, BatchNorm2d, Linear, ReLU, MaxPool2d, GlobalAvgPool, SEBlock,
+    Conv2d, BatchNorm2d, Linear, MaxPool2d, GlobalAvgPool, SEBlock,
     CheckpointModule,
 )
 from convnet_tpu.regimes import schedules

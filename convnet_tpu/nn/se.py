@@ -12,8 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from convnet_tpu.core.module import Module, Context
-from convnet_tpu.core.dtypes import DEFAULT_POLICY
-from convnet_tpu.nn.layers import Linear, GlobalAvgPool
+from convnet_tpu.nn.layers import Linear
 
 
 class SEBlock(Module):

@@ -25,8 +25,7 @@ reference's ``step_lambda`` mechanism) — evaluated at resolution time.
 
 from __future__ import annotations
 
-import copy
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 
 def eval_setting(setting: Dict[str, Any], epoch: float, step: int) -> Dict[str, Any]:

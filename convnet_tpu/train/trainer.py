@@ -31,7 +31,6 @@ import collections
 import dataclasses
 import logging
 import time
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
