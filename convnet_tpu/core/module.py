@@ -43,6 +43,10 @@ class Context:
       policy: dtype policy (param/compute/stat dtypes).
       axis_name: mesh axis name for cross-replica BN (``None`` =
         per-replica statistics, the reference's default behavior).
+      spatial_axis: mesh axis name over which activation HEIGHT is
+        sharded (spatial partitioning, parallel/spatial.py); convs and
+        pools halo-exchange over it, BN moments and global pooling
+        reduce over it. ``None`` = no spatial sharding.
       impl: kernel implementation: ``"xla"`` or ``"pallas"``.
     """
 
@@ -50,6 +54,7 @@ class Context:
     rng: Optional[jax.Array] = None
     policy: Policy = DEFAULT_POLICY
     axis_name: Optional[str] = None
+    spatial_axis: Optional[str] = None
     impl: str = "xla"
 
     def next_rng(self) -> jax.Array:

@@ -64,7 +64,13 @@ class Conv2d(Module):
         return max(s) <= 2 and isinstance(self.padding, int)
 
     def __call__(self, params, state, x, ctx: Context):
-        if self._pallas_depthwise_ok(ctx):
+        if ctx.spatial_axis is not None:
+            from convnet_tpu.parallel.spatial import conv2d_spatial
+            y = conv2d_spatial(x, params["w"], stride=self.stride,
+                               padding=self.padding, dilation=self.dilation,
+                               groups=self.groups,
+                               axis_name=ctx.spatial_axis)
+        elif self._pallas_depthwise_ok(ctx):
             from convnet_tpu.ops.pallas.depthwise import depthwise_conv_pallas
             y = depthwise_conv_pallas(
                 x, params["w"].astype(x.dtype), self.stride, self.padding,
@@ -107,12 +113,19 @@ class BatchNorm2d(Module):
         scale = params.get("scale") if self.affine else None
         bias = params.get("bias") if self.affine else None
         if ctx.train:
+            # moments MUST reduce over the spatial axis when H is
+            # sharded (batch stats span the full image); the data axis
+            # joins only under sync-BN (ctx.axis_name)
+            axis_size = 1
+            for a in (ctx.spatial_axis, ctx.axis_name):
+                if a is not None:
+                    axis_size *= jax.lax.axis_size(a)
             y, mean, var = ops.batch_norm_train(
                 x, scale, bias, state["mean"], state["var"],
                 momentum=self.momentum, eps=self.eps,
                 axis_name=ctx.axis_name,
-                axis_size=(jax.lax.axis_size(ctx.axis_name)
-                           if ctx.axis_name is not None else 1),
+                spatial_axis=ctx.spatial_axis,
+                axis_size=axis_size,
             )
             return y, {"mean": mean, "var": var}
         y = ops.batch_norm_inference(x, scale, bias, state["mean"],
@@ -205,6 +218,11 @@ class MaxPool2d(_Stateless):
         self.kernel_size, self.stride, self.padding = kernel_size, stride, padding
 
     def __call__(self, params, state, x, ctx):
+        if ctx.spatial_axis is not None:
+            from convnet_tpu.parallel.spatial import max_pool2d_spatial
+            return max_pool2d_spatial(x, self.kernel_size, self.stride,
+                                      self.padding,
+                                      axis_name=ctx.spatial_axis), state
         return ops.max_pool2d(x, self.kernel_size, self.stride, self.padding,
                               impl=ctx.impl), state
 
@@ -224,6 +242,10 @@ class GlobalAvgPool(_Stateless):
         self.keepdims = keepdims
 
     def __call__(self, params, state, x, ctx):
+        if getattr(ctx, "spatial_axis", None) is not None:
+            from convnet_tpu.parallel.spatial import global_avg_pool_spatial
+            return global_avg_pool_spatial(
+                x, ctx.spatial_axis, keepdims=self.keepdims), state
         return ops.global_avg_pool(x, keepdims=self.keepdims), state
 
 

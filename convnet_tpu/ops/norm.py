@@ -21,11 +21,19 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _batch_moments(x, axis_name: Optional[str]):
+def _batch_moments(x, axis_name, spatial_axis=None):
+    """axis_name: the data mesh axis for cross-replica (sync) BN;
+    spatial_axis: the mesh axis H is sharded over (spatial
+    partitioning) — reduced with gradient-paired collectives
+    (parallel/spatial.py) so backward stays exact."""
     x32 = x.astype(jnp.float32)
     reduce_axes = tuple(range(x.ndim - 1))  # all but channels
     mean = jnp.mean(x32, axis=reduce_axes)
     mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
+    if spatial_axis is not None:
+        from convnet_tpu.parallel.spatial import pmean_paired
+        mean = pmean_paired(mean, spatial_axis)
+        mean_sq = pmean_paired(mean_sq, spatial_axis)
     if axis_name is not None:
         # cross-replica: average the sufficient statistics over the data axis
         mean = lax.pmean(mean, axis_name)
@@ -46,25 +54,35 @@ def batch_norm_train(
     axis_name: Optional[str] = None,
     local_count: Optional[int] = None,
     axis_size: int = 1,
+    spatial_axis: Optional[str] = None,
 ):
     """Training-mode BN. Returns (y, new_running_mean, new_running_var).
 
     ``local_count`` is the per-replica number of elements reduced per
-    channel (N*H*W); with ``axis_name`` the effective count is
-    ``local_count * axis_size`` for the unbiased correction.
+    channel (N*H*W); with ``axis_name``/``spatial_axis`` the effective
+    count is ``local_count * axis_size`` for the unbiased correction.
     """
-    mean, var = _batch_moments(x, axis_name)
-    inv = lax.rsqrt(var + eps)
+    mean, var = _batch_moments(x, axis_name, spatial_axis)
+    norm_mean, norm_var = mean, var
+    if spatial_axis is not None:
+        # moments are replicated across spatial shards but consumed by
+        # SHARDED normalization — mark so backward psums the partial
+        # cotangents into the exact total (parallel/spatial.py)
+        from convnet_tpu.parallel.spatial import replicated_use
+        norm_mean = replicated_use(mean, spatial_axis)
+        norm_var = replicated_use(var, spatial_axis)
+    inv = lax.rsqrt(norm_var + eps)
     if scale is not None:
         inv = inv * scale.astype(jnp.float32)
-    y = (x.astype(jnp.float32) - mean) * inv
+    y = (x.astype(jnp.float32) - norm_mean) * inv
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     y = y.astype(x.dtype)
 
     if local_count is None:
         local_count = x.size // x.shape[-1]
-    n = local_count * (axis_size if axis_name is not None else 1)
+    n = local_count * (axis_size if (axis_name is not None
+                                     or spatial_axis is not None) else 1)
     correction = n / max(n - 1, 1)
     new_mean = (1 - momentum) * running_mean + momentum * mean
     new_var = (1 - momentum) * running_var + momentum * (var * correction)

@@ -1,0 +1,136 @@
+"""Spatial partitioning (H-sharded activations, halo exchange over the
+mesh) — the domain's sequence-parallel analog (SURVEY.md §5.7).
+Equivalence tests on the fake-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from convnet_tpu import models
+from convnet_tpu.core.module import Context
+from convnet_tpu.parallel.mesh import make_mesh
+from convnet_tpu.parallel import spatial as sp
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 fake devices")
+
+
+def _spatial_mesh(n):
+    import numpy as _np
+    from jax.sharding import Mesh
+    return Mesh(_np.asarray(jax.devices()[:n]), ("spatial",))
+
+
+def test_halo_exchange():
+    mesh = _spatial_mesh(4)
+    x = jnp.arange(4 * 8 * 2 * 1, dtype=jnp.float32).reshape(1, 32, 2, 1)
+
+    def f(x):
+        return sp.halo_pad_rows(x, "spatial", 1, 1)
+
+    out = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, "spatial"),
+                            out_specs=P(None, "spatial"),
+                            check_vma=False))(x)
+    out = np.asarray(out).reshape(4, 10, 2)  # per-shard (1+8+1) rows
+    ref = np.asarray(x).reshape(32, 2)
+    for shard in range(4):
+        lo = shard * 8
+        # interior rows match the global array
+        np.testing.assert_array_equal(out[shard, 1:9], ref[lo:lo + 8])
+        # halos: previous/next shard rows, zeros at boundaries
+        if shard > 0:
+            np.testing.assert_array_equal(out[shard, 0], ref[lo - 1])
+        else:
+            np.testing.assert_array_equal(out[shard, 0], 0)
+        if shard < 3:
+            np.testing.assert_array_equal(out[shard, 9], ref[lo + 8])
+        else:
+            np.testing.assert_array_equal(out[shard, 9], 0)
+
+
+@pytest.mark.parametrize("kernel,stride,pad", [(3, 1, 1), (3, 2, 1),
+                                               (1, 1, 0), (7, 2, 3)])
+def test_spatial_conv_matches_unsharded(kernel, stride, pad):
+    mesh = _spatial_mesh(4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 16, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(
+        (kernel, kernel, 8, 16)).astype(np.float32))
+
+    from convnet_tpu import ops
+    ref = ops.conv2d(x, w, stride=stride, padding=pad)
+
+    def f(x, w):
+        return sp.conv2d_spatial(x, w, stride=stride, padding=pad)
+
+    out = jax.jit(shard_map(f, mesh=mesh,
+                            in_specs=(P(None, "spatial"), P()),
+                            out_specs=P(None, "spatial"),
+                            check_vma=False))(x, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_maxpool_matches_unsharded():
+    mesh = _spatial_mesh(4)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 32, 16, 8)).astype(np.float32))
+    from convnet_tpu import ops
+    ref = ops.max_pool2d(x, 3, 2, 1)
+
+    def f(x):
+        return sp.max_pool2d_spatial(x, 3, 2, 1)
+
+    out = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, "spatial"),
+                            out_specs=P(None, "spatial"),
+                            check_vma=False))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5)
+
+
+def test_spatial_resnet_forward_and_grads_match():
+    """ResNet-20 train-mode forward + weight grads under 4-way spatial
+    sharding == single device (BN moments pmean over 'spatial',
+    grads psum)."""
+    mesh = _spatial_mesh(4)
+    model = models.build("resnet", dataset="cifar10", depth=20)
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+
+    def loss_ref(p):
+        y, _ = model(p, state, x, Context(train=True,
+                                          rng=jax.random.PRNGKey(1)))
+        return jnp.mean(jnp.square(y.astype(jnp.float32)))
+
+    ref_loss = float(loss_ref(params))
+    ref_grads = jax.grad(loss_ref)(params)
+
+    def sharded_loss_and_grads(p, x):
+        def inner(p, x):
+            def local_loss(p):
+                y, _ = model(p, state, x,
+                             Context(train=True, rng=jax.random.PRNGKey(1),
+                                     spatial_axis="spatial"))
+                return jnp.mean(jnp.square(y.astype(jnp.float32)))
+
+            loss, grads = jax.value_and_grad(local_loss)(p)
+            # trunk grads are shard-partial (psum); head grads are
+            # already full (replicated region) — see spatial_grad_reduce
+            grads = sp.spatial_grad_reduce(grads, "spatial")
+            return loss, grads
+
+        return shard_map(inner, mesh=mesh,
+                         in_specs=(P(), P(None, "spatial")),
+                         out_specs=(P(), P()), check_vma=False)(p, x)
+
+    loss, grads = jax.jit(sharded_loss_and_grads)(params, x)
+    assert float(loss) == pytest.approx(ref_loss, rel=1e-4)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_grads)[0],
+            jax.tree_util.tree_flatten_with_path(grads)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4, err_msg=str(pa))
