@@ -70,6 +70,9 @@ def build_parser():
                    help="data-parallel degree (default: all local devices)")
     p.add_argument("--sync-bn", action="store_true",
                    help="cross-replica BatchNorm statistics over ICI")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="spatial-partitioning degree: shard activation "
+                        "height over this many devices (2-D mesh)")
     p.add_argument("--dist-init", default=None,
                    help="multi-host coordinator address host:port")
     p.add_argument("--dist-rank", type=int, default=0)
@@ -161,7 +164,11 @@ def main(argv=None):
     # ---- mesh / trainer ---------------------------------------------
     devices = jax.devices()
     n_dev = args.num_devices or len(devices)
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if args.spatial > 1:
+        from convnet_tpu.parallel.mesh import make_mesh_2d
+        mesh = make_mesh_2d(args.spatial, n_dev)
+    else:
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
     log.info("devices: %d (%s), mesh=%s", n_dev, devices[0].platform,
              mesh.shape if mesh else None)
 

@@ -37,6 +37,21 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(spatial: int, num_devices: Optional[int] = None,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (data × spatial) mesh: batch shards over 'data', activation
+    height over 'spatial' (parallel/spatial.py)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % spatial:
+        raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+    return Mesh(np.asarray(devices).reshape(n // spatial, spatial),
+                ("data", "spatial"))
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree fully-replicated on the mesh."""
     sharding = NamedSharding(mesh, P())

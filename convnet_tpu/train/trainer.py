@@ -109,11 +109,21 @@ class Trainer:
 
     @property
     def data_axis(self):
-        return self.mesh.axis_names[0] if self.mesh is not None else None
+        if self.mesh is None:
+            return None
+        return ("data" if "data" in self.mesh.axis_names
+                else self.mesh.axis_names[0])
+
+    @property
+    def spatial_axis(self):
+        if self.mesh is None:
+            return None
+        return "spatial" if "spatial" in self.mesh.axis_names else None
 
     def _loss_fn(self, params, state, x, y, rng, axis_name):
         ctx = Context(train=True, rng=rng, policy=self.policy,
                       axis_name=axis_name if self.cfg.sync_bn else None,
+                      spatial_axis=self.spatial_axis,
                       impl=self.cfg.impl)
         logits, new_state = self.model(params, state, x, ctx)
         criterion = CrossEntropyLoss(smooth_eps=self.cfg.label_smoothing)
@@ -181,6 +191,11 @@ class Trainer:
             # --- loss-scale unwind, all-reduce, clip ------------------
             grads = jax.tree_util.tree_map(
                 lambda g: g / hp["loss_scale"], grads)
+            if self.spatial_axis is not None:
+                # trunk grads are shard-partial over the spatial axis
+                # (psum); replicated-head grads pass through
+                from convnet_tpu.parallel.spatial import spatial_grad_reduce
+                grads = spatial_grad_reduce(grads, self.spatial_axis)
             if axis is not None:
                 grads = jax.lax.pmean(grads, axis)
                 # running BN stats averaged across replicas (per-replica
@@ -221,9 +236,11 @@ class Trainer:
             return params, state, opt_state, metrics
 
         if self.mesh is not None:
+            x_spec = (P(axis, self.spatial_axis) if self.spatial_axis
+                      else P(axis))
             step = _shard_map_fn(
                 step, mesh=self.mesh,
-                in_specs=(P(), P(), P(), P(axis), P(axis), P(), P()),
+                in_specs=(P(), P(), P(), x_spec, P(axis), P(), P()),
                 out_specs=(P(), P(), P(), P()),
                 check_vma=False,
             )
@@ -235,7 +252,8 @@ class Trainer:
 
         def step(params, state, x, y):
             x = self.policy.cast_to_compute(x)
-            ctx = Context(train=False, policy=self.policy, impl=cfg.impl)
+            ctx = Context(train=False, policy=self.policy, impl=cfg.impl,
+                          spatial_axis=self.spatial_axis)
             logits, _ = self.model(params, state, x, ctx)
             n = x.shape[0]
             if cfg.duplicates > 1 and cfg.average_output:
@@ -260,9 +278,11 @@ class Trainer:
                     "count": count}
 
         if self.mesh is not None:
+            x_spec = (P(axis, self.spatial_axis) if self.spatial_axis
+                      else P(axis))
             step = _shard_map_fn(
                 step, mesh=self.mesh,
-                in_specs=(P(), P(), P(axis), P(axis)),
+                in_specs=(P(), P(), x_spec, P(axis)),
                 out_specs=P(),
                 check_vma=False,
             )
@@ -304,8 +324,16 @@ class Trainer:
     def _shard(self, *arrays):
         if self.mesh is None:
             return arrays
-        from convnet_tpu.parallel.mesh import shard_batch
-        return tuple(shard_batch(a, self.mesh) for a in arrays)
+        import numpy as _np
+        from jax.sharding import NamedSharding
+        out = []
+        for a in arrays:
+            if self.spatial_axis is not None and getattr(a, "ndim", 0) == 4:
+                spec = P(self.data_axis, self.spatial_axis)
+            else:
+                spec = P(self.data_axis)
+            out.append(jax.device_put(a, NamedSharding(self.mesh, spec)))
+        return tuple(out)
 
     # ------------------------------------------------------------------
     # epoch loops (host side)

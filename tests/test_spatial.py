@@ -134,3 +134,41 @@ def test_spatial_resnet_forward_and_grads_match():
             jax.tree_util.tree_flatten_with_path(grads)[0]):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-4, err_msg=str(pa))
+
+
+def test_trainer_2d_mesh_spatial():
+    """Trainer with a (data=2 × spatial=4) mesh: one train step and a
+    validate run produce the single-device numbers."""
+    from convnet_tpu.parallel.mesh import make_mesh_2d
+    from convnet_tpu.regimes.optim import OptimRegime
+    from convnet_tpu.train.trainer import Trainer, TrainerConfig
+
+    mesh = make_mesh_2d(spatial=4, num_devices=8)
+    model = models.build("resnet", dataset="cifar10", depth=20)
+
+    def run(mesh):
+        tr = Trainer(model, OptimRegime(model.regime), 10,
+                     TrainerConfig(print_freq=0, sync_bn=True), mesh=mesh,
+                     seed=5)
+        p, s = model.init(jax.random.PRNGKey(0))
+        p, s, o = tr.initialize(p, s)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+        y = rng.integers(0, 10, (8,)).astype(np.int32)
+        tr.optim.update(0, 0)
+        hp = tr._hp_device(tr.optim.hyperparams())
+        step = tr._get_train_step()
+        bx, by = tr._shard(jnp.asarray(x), jnp.asarray(y))
+        p, s, o, m = step(p, s, o, bx, by, hp, jax.random.PRNGKey(9))
+        val = tr.validate([(x, y)], p, s)
+        return float(m["loss"]), jax.device_get(p), val
+
+    loss_2d, params_2d, val_2d = run(mesh)
+    loss_1, params_1, val_1 = run(None)
+    assert loss_2d == pytest.approx(loss_1, rel=1e-3)
+    assert val_2d["prec1"] == pytest.approx(val_1["prec1"], abs=1e-6)
+    assert val_2d["loss"] == pytest.approx(val_1["loss"], rel=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(params_1),
+                    jax.tree_util.tree_leaves(params_2d)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
