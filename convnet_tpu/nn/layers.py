@@ -194,6 +194,10 @@ class Dropout(_Stateless):
 
 class Flatten(_Stateless):
     def __call__(self, params, state, x, ctx):
+        if (getattr(ctx, "spatial_axis", None) is not None
+                and x.ndim == 4 and x.shape[1] > 0):
+            from convnet_tpu.parallel.spatial import flatten_spatial
+            return flatten_spatial(x, ctx.spatial_axis), state
         return x.reshape(x.shape[0], -1), state
 
 
@@ -232,6 +236,11 @@ class AvgPool2d(_Stateless):
         self.kernel_size, self.stride, self.padding = kernel_size, stride, padding
 
     def __call__(self, params, state, x, ctx):
+        if getattr(ctx, "spatial_axis", None) is not None:
+            from convnet_tpu.parallel.spatial import avg_pool2d_spatial
+            return avg_pool2d_spatial(x, self.kernel_size, self.stride,
+                                      self.padding,
+                                      axis_name=ctx.spatial_axis), state
         return ops.avg_pool2d(x, self.kernel_size, self.stride, self.padding), state
 
 

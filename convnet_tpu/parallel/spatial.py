@@ -97,6 +97,32 @@ def max_pool2d_spatial(x, kernel, stride=None, padding=0,
     return ops.max_pool2d(xh, kernel, stride, 0)
 
 
+def avg_pool2d_spatial(x, kernel, stride=None, padding=0,
+                       axis_name: str = "spatial"):
+    """Average pooling with halo rows; zero-fill halos at true edges
+    reproduce count_include_pad=True semantics."""
+    from convnet_tpu import ops
+    stride = stride if stride is not None else kernel
+    kh, _kw = _pair(kernel)
+    sh, _sw = _pair(stride)
+    ph, pw = _pair(padding)
+    up, down = conv_halos(kh, sh, ph)
+    xh = halo_pad_rows(x, axis_name, up, down, fill=0.0)
+    if pw:
+        xh = jnp.pad(xh, ((0, 0), (0, 0), (pw, pw), (0, 0)))
+    return ops.avg_pool2d(xh, kernel, stride, 0)
+
+
+def flatten_spatial(x, axis_name: str = "spatial"):
+    """(B, HL, W, C) → (B, H·W·C): gather the full height across
+    spatial shards (tiled all_gather), then flatten — used by
+    flatten-classifier heads (VGG/AlexNet) under spatial sharding. The
+    result is replicated, so the head's grads follow the
+    replicated-region convention (spatial_grad_reduce)."""
+    full = lax.all_gather(x, axis_name, axis=1, tiled=True)
+    return full.reshape(full.shape[0], -1)
+
+
 def global_avg_pool_spatial(x, axis_name: str = "spatial", keepdims=False):
     """Mean over (local H, W) then over spatial shards (equal shards).
     Gradient-paired pmean: the consumer (classifier head) is replicated,

@@ -172,3 +172,33 @@ def test_trainer_2d_mesh_spatial():
                     jax.tree_util.tree_leaves(params_2d)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_spatial_avgpool_matches_unsharded():
+    mesh = _spatial_mesh(4)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 32, 16, 8)).astype(np.float32))
+    from convnet_tpu import ops
+    ref = ops.avg_pool2d(x, 3, 1, 1)
+
+    def f(x):
+        return sp.avg_pool2d_spatial(x, 3, 1, 1)
+
+    out = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, "spatial"),
+                            out_specs=P(None, "spatial"),
+                            check_vma=False))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_flatten_gathers():
+    mesh = _spatial_mesh(4)
+    x = jnp.arange(2 * 8 * 2 * 3, dtype=jnp.float32).reshape(2, 8, 2, 3)
+
+    def f(x):
+        return sp.flatten_spatial(x)
+
+    out = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, "spatial"),
+                            out_specs=P(), check_vma=False))(x)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(x).reshape(2, -1))
