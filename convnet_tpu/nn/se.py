@@ -17,18 +17,30 @@ from convnet_tpu.nn.layers import Linear
 
 def _squeeze(x, ctx):
     """Global average over (H, W) — pmean over the spatial axis when
-    height is sharded. Spatial TRAINING is unsupported for SE: the
-    squeeze's FC params sit between sharded cotangents (gate path) and
-    replicated activations, so neither psum nor pmean of their grads is
-    correct without a per-param convention (parallel/spatial.py
-    ``spatial_grad_reduce`` docs); inference is fine."""
-    if getattr(ctx, "spatial_axis", None) is not None and ctx.train:
-        raise NotImplementedError(
-            "SE blocks do not support spatial-partitioned training")
+    height is sharded.
+
+    Spatial gradient plumbing (parallel/spatial.py invariant): the SE
+    FC params live in the trunk subtree whose grads are psum'd at the
+    end, so their cotangents must be exact/n per shard. The gate's
+    replicated-use boundary pmeans the partial cotangents (exact/n ✓),
+    and the grad-scale op below restores exact cotangents before the
+    paired squeeze pmean (whose backward divides by n), keeping the
+    upstream conv path exact-partial.
+    """
     s = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
     if getattr(ctx, "spatial_axis", None) is not None:
-        s = jax.lax.pmean(s, ctx.spatial_axis)
+        from convnet_tpu.parallel.spatial import (
+            pmean_paired, grad_scale_by_axis)
+        s = pmean_paired(s, ctx.spatial_axis)
+        s = grad_scale_by_axis(s, ctx.spatial_axis)
     return s.astype(x.dtype)
+
+
+def _gate(gate, ctx):
+    if getattr(ctx, "spatial_axis", None) is not None:
+        from convnet_tpu.parallel.spatial import replicated_use_mean
+        gate = replicated_use_mean(gate, ctx.spatial_axis)
+    return gate
 
 
 class SEBlock(Module):
@@ -44,6 +56,7 @@ class SEBlock(Module):
         s = jax.nn.relu(s)
         s, _ = self.fc2(params["fc2"], {}, s, ctx)
         gate = jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+        gate = _gate(gate, ctx)
         return x * gate[:, None, None, :], state
 
 
@@ -62,4 +75,5 @@ class SESwishBlock(Module):
         s = jax.nn.swish(s)
         s, _ = self.fc2(params["fc2"], {}, s, ctx)
         gate = jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+        gate = _gate(gate, ctx)
         return x * gate[:, None, None, :], state

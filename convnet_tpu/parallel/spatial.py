@@ -178,12 +178,61 @@ def _make_replicated_use(axis_name):
     return op
 
 
+def _make_replicated_use_mean(axis_name):
+    """Identity whose backward pmeans the cotangent: marks a replicated
+    value consumed by sharded computation inside a TRUNK subgraph whose
+    parameter grads follow the exact-PARTIAL (psum-at-the-end)
+    convention — the resulting cotangents are exact/n, so a final psum
+    over the axis restores totals (see nn/se.py for the worked case)."""
+
+    @jax.custom_vjp
+    def op(x):
+        return x
+
+    def fwd(x):
+        return x, None
+
+    def bwd(_, ct):
+        return (jax.tree_util.tree_map(
+            lambda t: lax.pmean(t, axis_name), ct),)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def _make_grad_scale(axis_name):
+    """Identity whose backward multiplies the cotangent by the axis
+    size — converts exact/n cotangents back to exact at a boundary."""
+
+    @jax.custom_vjp
+    def op(x):
+        return x
+
+    def fwd(x):
+        return x, None
+
+    def bwd(_, ct):
+        n = lax.axis_size(axis_name)
+        return (jax.tree_util.tree_map(lambda t: t * n, ct),)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def pmean_paired(x, axis_name: str):
     return _make_pmean_paired(axis_name)(x)
 
 
 def replicated_use(x, axis_name: str):
     return _make_replicated_use(axis_name)(x)
+
+
+def replicated_use_mean(x, axis_name: str):
+    return _make_replicated_use_mean(axis_name)(x)
+
+
+def grad_scale_by_axis(x, axis_name: str):
+    return _make_grad_scale(axis_name)(x)
 
 
 def spatial_grad_reduce(grads, axis_name: str = "spatial",

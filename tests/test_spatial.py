@@ -202,3 +202,42 @@ def test_spatial_flatten_gathers():
                             out_specs=P(), check_vma=False))(x)
     np.testing.assert_array_equal(np.asarray(out),
                                   np.asarray(x).reshape(2, -1))
+
+
+def test_spatial_se_resnet_grads_match():
+    """SE-ResNet under spatial sharding: the SE gradient plumbing
+    (pmean-backward gate + grad-scaled squeeze) keeps ALL grads equal
+    to single-device after the trunk psum."""
+    mesh = _spatial_mesh(4)
+    model = models.build("resnet_se", dataset="cifar10", depth=20)
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+
+    def loss_ref(p):
+        y, _ = model(p, state, x, Context(train=True,
+                                          rng=jax.random.PRNGKey(1)))
+        return jnp.mean(jnp.square(y.astype(jnp.float32)))
+
+    ref_loss = float(loss_ref(params))
+    ref_grads = jax.grad(loss_ref)(params)
+
+    def inner(p, x):
+        def ll(p):
+            y, _ = model(p, state, x,
+                         Context(train=True, rng=jax.random.PRNGKey(1),
+                                 spatial_axis="spatial"))
+            return jnp.mean(jnp.square(y.astype(jnp.float32)))
+
+        loss, grads = jax.value_and_grad(ll)(p)
+        return loss, sp.spatial_grad_reduce(grads, "spatial")
+
+    loss, grads = jax.jit(shard_map(
+        inner, mesh=mesh, in_specs=(P(), P(None, "spatial")),
+        out_specs=(P(), P()), check_vma=False))(params, x)
+    assert float(loss) == pytest.approx(ref_loss, rel=1e-4)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_grads)[0],
+            jax.tree_util.tree_flatten_with_path(grads)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4, err_msg=str(pa))
