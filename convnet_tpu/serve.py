@@ -52,6 +52,11 @@ class Predictor:
 
         @jax.jit
         def forward(params, state, x):
+            # uint8 inputs are scaled on-device: the host→device
+            # transfer then moves 1 byte/px instead of 4 (PCIe/link
+            # bandwidth is the serving bottleneck at batch size)
+            if x.dtype == jnp.uint8:
+                x = x.astype(policy.compute_dtype) / 255.0
             ctx = Context(train=False, policy=policy, impl=self.impl)
             logits, _ = model(params, state, policy.cast_to_compute(x), ctx)
             return logits.astype(jnp.float32)
@@ -59,10 +64,9 @@ class Predictor:
         self._forward = forward
 
     def predict_logits(self, x) -> np.ndarray:
-        """x: (N, H, W, C) float/uint8; any N — batched/padded internally."""
+        """x: (N, H, W, C) float or uint8 (raw bytes are transferred and
+        scaled on device); any N — batched/padded internally."""
         x = np.asarray(x)
-        if x.dtype == np.uint8:
-            x = x.astype(np.float32) / 255.0
         n = x.shape[0]
         outs = []
         for i in range(0, n, self.batch_size):
