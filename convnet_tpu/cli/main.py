@@ -294,6 +294,8 @@ def main(argv=None):
                     train_prec5=train_res["prec5"], val_prec5=val_res["prec5"],
                     step_time_p50=train_res["step_time_p50"],
                     data_time=train_res["data_time"],
+                    epoch_time=train_res["epoch_time"],
+                    img_per_sec=train_res["img_per_sec"],
                     lr=optim.hyperparams()["lr"])
         results.plot("epoch", ["train_loss", "val_loss"], "loss", "loss")
         results.plot("epoch", ["train_prec1", "val_prec1"], "top-1", "%")

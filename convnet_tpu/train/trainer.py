@@ -350,6 +350,8 @@ class Trainer:
         pending = collections.deque()
         spe = steps_per_epoch or getattr(loader, "__len__", lambda: None)()
 
+        samples = 0
+        t_epoch0 = time.perf_counter()
         t_last = time.perf_counter()
         for i, (x, y) in enumerate(loader):
             t_data = time.perf_counter()
@@ -361,6 +363,7 @@ class Trainer:
             hp = self._hp_device(self.optim.hyperparams())
             self.rng, step_rng = jax.random.split(self.rng)
             bsz = x.shape[0]
+            samples += bsz
             x, y = self._shard(jnp.asarray(x), jnp.asarray(y))
             step_fn = self._get_train_step()
             params, state, opt_state, metrics = step_fn(
@@ -405,6 +408,9 @@ class Trainer:
             step_times.append(st)
             acc.update((float(m["correct1"]), float(m["correct5"])), n)
 
+        # wall-clock throughput is the honest number on backends with
+        # fully-async dispatch (per-step meters only time the enqueue)
+        epoch_wall = time.perf_counter() - t_epoch0
         results = {"loss": meters["loss"].avg, "prec1": acc.value(1),
                    "prec5": acc.value(5),
                    "step_time": meters["step_time"].avg,
@@ -412,6 +418,8 @@ class Trainer:
                    "step_time_p50": float(np.median(step_times[1:] or step_times
                                                     or [0.0])),
                    "data_time": meters["data_time"].avg,
+                   "epoch_time": epoch_wall,
+                   "img_per_sec": samples / max(epoch_wall, 1e-9),
                    "grad_norm": meters["grad_norm"].avg}
         return params, state, opt_state, results
 
