@@ -61,6 +61,19 @@ def conv_halos(kernel_h: int, stride_h: int, pad_h: int):
     return up, down
 
 
+def _gather_compute_slice(x, axis_name, compute_full):
+    """Fallback for halos wider than the local shard (tiny late-stage
+    activations): all-gather the full height, compute locally, slice
+    this shard's output rows back out. O(full tensor) but only fires
+    when H_local is a few rows."""
+    n = lax.axis_size(axis_name)
+    i = lax.axis_index(axis_name)
+    full = lax.all_gather(x, axis_name, axis=1, tiled=True)
+    y_full = compute_full(full)
+    o_per = y_full.shape[1] // n
+    return lax.dynamic_slice_in_dim(y_full, i * o_per, o_per, axis=1)
+
+
 def conv2d_spatial(x, w, *, stride=1, padding=0, dilation=1, groups=1,
                    axis_name: str = "spatial"):
     """NHWC conv with H sharded over ``axis_name`` (inside shard_map)."""
@@ -73,6 +86,12 @@ def conv2d_spatial(x, w, *, stride=1, padding=0, dilation=1, groups=1,
         raise ValueError("spatial sharding requires local H divisible by "
                          f"stride ({x.shape[1]} % {sh})")
     up, down = conv_halos(kh, sh, ph)
+    if max(up, down) > x.shape[1]:
+        return _gather_compute_slice(
+            x, axis_name,
+            lambda full: ops.conv2d(full, w, stride=stride,
+                                    padding=((ph, ph), (pw, pw)),
+                                    groups=groups))
     xh = halo_pad_rows(x, axis_name, up, down)
     # height already materialized (halo + interior): VALID on H, pad W only
     return ops.conv2d(xh, w, stride=stride,
@@ -87,6 +106,10 @@ def max_pool2d_spatial(x, kernel, stride=None, padding=0,
     sh, _sw = _pair(stride)
     ph, pw = _pair(padding)
     up, down = conv_halos(kh, sh, ph)
+    if max(up, down) > x.shape[1]:
+        return _gather_compute_slice(
+            x, axis_name,
+            lambda full: ops.max_pool2d(full, kernel, stride, (ph, pw)))
     neg = jnp.asarray(-jnp.inf, x.dtype)
     xh = halo_pad_rows(x, axis_name, up, down, fill=neg)
     # H halos are in place → pool with W-only padding. ops.max_pool2d
@@ -107,6 +130,10 @@ def avg_pool2d_spatial(x, kernel, stride=None, padding=0,
     sh, _sw = _pair(stride)
     ph, pw = _pair(padding)
     up, down = conv_halos(kh, sh, ph)
+    if max(up, down) > x.shape[1]:
+        return _gather_compute_slice(
+            x, axis_name,
+            lambda full: ops.avg_pool2d(full, kernel, stride, (ph, pw)))
     xh = halo_pad_rows(x, axis_name, up, down, fill=0.0)
     if pw:
         xh = jnp.pad(xh, ((0, 0), (0, 0), (pw, pw), (0, 0)))

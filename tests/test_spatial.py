@@ -241,3 +241,30 @@ def test_spatial_se_resnet_grads_match():
             jax.tree_util.tree_flatten_with_path(grads)[0]):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-4, err_msg=str(pa))
+
+
+@pytest.mark.parametrize("name,cfg,size", [
+    ("densenet", {"depth": 121}, 64),
+    ("googlenet", {}, 64),
+    ("mobilenet_v2", {"width": 0.25}, 64),
+])
+def test_spatial_forward_parity_other_models(name, cfg, size):
+    """Eval-mode forward under 2-way spatial sharding matches unsharded
+    for concat-heavy architectures (densenet), multi-branch pools
+    (googlenet), and inverted residuals (mobilenet_v2)."""
+    mesh = _spatial_mesh(2)
+    model = models.build(name, **cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, size, size, 3)).astype(np.float32))
+    y_ref, _ = model(params, state, x, Context(train=False))
+
+    def f(x):
+        y, _ = model(params, state, x,
+                     Context(train=False, spatial_axis="spatial"))
+        return y
+
+    y_sh = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, "spatial"),
+                             out_specs=P(), check_vma=False))(x)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
