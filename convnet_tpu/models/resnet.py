@@ -51,6 +51,14 @@ class ConvBN(Module):
         self.act = act if relu else "none"
 
     def _fusable(self, ctx):
+        # opt-in (CONVNET_TPU_PALLAS_FUSED=1): at full-model scale the
+        # standalone fused kernel breaks XLA's own conv+epilogue fusion
+        # chains — measured 3x slower RN50 inference on v5e
+        # (scripts/PERF_NOTES.md); it remains the guaranteed-fusion
+        # escape hatch for backends without epilogue pattern-matching.
+        import os
+        if os.environ.get("CONVNET_TPU_PALLAS_FUSED") != "1":
+            return False
         return (not ctx.train and ctx.impl == "pallas"
                 and self.conv.kernel_size == (1, 1)
                 and self.conv.stride in (1, (1, 1))

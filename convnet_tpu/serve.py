@@ -31,9 +31,7 @@ class Predictor:
         self.model = models.build(model_name, **(model_config or {}))
         self.policy = get_policy(dtype)
         self.batch_size = batch_size
-        if impl is None:
-            impl = "pallas" if jax.devices()[0].platform not in ("cpu",) else "xla"
-        self.impl = impl
+        self.impl = impl or "xla"
 
         if checkpoint:
             ckpt = load_checkpoint(checkpoint)

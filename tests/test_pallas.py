@@ -80,6 +80,8 @@ def test_fused_matmul_parity():
 def test_fused_convbn_eval_path_matches_xla():
     """ConvBN 1x1 inference: impl='pallas' (fused MXU kernel) equals the
     XLA conv→BN→ReLU chain."""
+    import os
+    os.environ["CONVNET_TPU_PALLAS_FUSED"] = "1"
     from convnet_tpu.models.resnet import ConvBN
     from convnet_tpu.core.module import Context
     blk = ConvBN(32, 48, 1)
@@ -90,11 +92,14 @@ def test_fused_convbn_eval_path_matches_xla():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32))
     y_xla, _ = blk(params, state, x, Context(train=False, impl="xla"))
     y_pal, _ = blk(params, state, x, Context(train=False, impl="pallas"))
+    os.environ.pop("CONVNET_TPU_PALLAS_FUSED", None)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
                                rtol=1e-4, atol=1e-4)
 
 
 def test_fused_mobilenetv2_eval():
+    import os
+    os.environ["CONVNET_TPU_PALLAS_FUSED"] = "1"
     from convnet_tpu import models
     from convnet_tpu.core.module import Context
     m = models.build("mobilenet_v2", width=0.25)
@@ -102,6 +107,7 @@ def test_fused_mobilenetv2_eval():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
     y_xla, _ = m(params, state, x, Context(train=False, impl="xla"))
     y_pal, _ = m(params, state, x, Context(train=False, impl="pallas"))
+    os.environ.pop("CONVNET_TPU_PALLAS_FUSED", None)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
                                rtol=2e-3, atol=2e-3)
 
