@@ -79,3 +79,16 @@ def test_parser_covers_reference_flags():
                  "--save", "--results-dir", "--save-all", "--loss-scale",
                  "--sync-bn", "--dist-init", "--input-size"]:
         assert flag in opts, flag
+
+
+def test_cli_spatial_2d_mesh(tmp_path):
+    """--spatial builds the 2-D mesh and trains end-to-end."""
+    res = main([
+        "--dataset", "synthetic", "--model", "resnet",
+        "--model-config", "{'depth': 20}",
+        "-b", "16", "--epochs", "1", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "sp",
+        "--num-devices", "8", "--spatial", "2", "--sync-bn",
+    ])
+    assert "best_prec1" in res
+    assert (tmp_path / "sp" / "checkpoint.npz").exists()
