@@ -29,11 +29,26 @@ DATA_AXIS = "data"
 def make_mesh(num_devices: Optional[int] = None,
               devices: Optional[Sequence] = None,
               axis_name: str = DATA_AXIS) -> Mesh:
-    """1-D data-parallel mesh over all (or the first N) devices."""
+    """1-D data-parallel mesh over all (or the first N) devices.
+
+    When using the full device set, the mesh is built with
+    ``mesh_utils.create_device_mesh`` so device order follows the
+    physical ICI topology (ring/torus-contiguous neighbors) — gradient
+    all-reduce then rides nearest-neighbor links instead of arbitrary
+    hops (SURVEY.md §2.4 "collectives ride ICI").
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    if len(devices) == len(jax.devices()) and len(devices) > 1:
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh((len(devices),),
+                                                devices=devices)
+            return Mesh(arr, (axis_name,))
+        except Exception:  # topology info unavailable → plain order
+            pass
     return Mesh(np.asarray(devices), (axis_name,))
 
 
@@ -48,6 +63,16 @@ def make_mesh_2d(spatial: int, num_devices: Optional[int] = None,
     n = len(devices)
     if n % spatial:
         raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+    if n == len(jax.devices()):
+        try:
+            # topology-aware: spatial (halo-exchange) neighbors land on
+            # adjacent chips; data-parallel all-reduce rings the rest
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh((n // spatial, spatial),
+                                                devices=devices)
+            return Mesh(arr, ("data", "spatial"))
+        except Exception:
+            pass
     return Mesh(np.asarray(devices).reshape(n // spatial, spatial),
                 ("data", "spatial"))
 

@@ -92,3 +92,16 @@ def test_cli_spatial_2d_mesh(tmp_path):
     ])
     assert "best_prec1" in res
     assert (tmp_path / "sp" / "checkpoint.npz").exists()
+
+
+def test_evaluate_with_calibrate_bn(tmp_path):
+    _run(tmp_path)
+    res = main([
+        "--dataset", "synthetic", "--model", "resnet",
+        "--model-config", "{'depth': 20}",
+        "-b", "16", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "t-cal",
+        "--evaluate", str(tmp_path / "t" / "model_best.npz"),
+        "--calibrate-bn",
+    ])
+    assert np.isfinite(res["loss"])
