@@ -70,6 +70,9 @@ def build_parser():
                    help="data-parallel degree (default: all local devices)")
     p.add_argument("--sync-bn", action="store_true",
                    help="cross-replica BatchNorm statistics over ICI")
+    p.add_argument("--shard-opt-state", action="store_true",
+                   help="ZeRO-1: shard optimizer moments over the data "
+                        "axis (reduce-scatter grads, all-gather params)")
     p.add_argument("--spatial", type=int, default=1,
                    help="spatial-partitioning degree: shard activation "
                         "height over this many devices (2-D mesh)")
@@ -178,6 +181,7 @@ def main(argv=None):
         grad_clip=args.grad_clip, loss_scale=args.loss_scale,
         chunk_batch=args.chunk_batch, duplicates=args.duplicates,
         adapt_grad_norm=args.adapt_grad_norm, sync_bn=args.sync_bn,
+        shard_opt_state=args.shard_opt_state,
         average_output=args.duplicates > 1, print_freq=args.print_freq)
     trainer = Trainer(model, optim, num_classes, cfg, mesh=mesh,
                       seed=args.seed)

@@ -69,6 +69,7 @@ class TrainerConfig:
     duplicates: int = 1             # batch augmentation factor
     adapt_grad_norm: Optional[int] = None
     sync_bn: bool = False           # cross-replica BN statistics
+    shard_opt_state: bool = False   # ZeRO-1: shard moments over 'data'
     average_output: bool = False    # duplicate-averaged eval (TTA)
     print_freq: int = 50
 
@@ -82,6 +83,14 @@ class Trainer:
         self.cfg = config or TrainerConfig()
         self.mesh = mesh
         self.policy = get_policy(self.cfg.dtype)
+        if self.cfg.shard_opt_state:
+            if mesh is None:
+                self.cfg = dataclasses.replace(self.cfg,
+                                               shard_opt_state=False)
+            elif (self.cfg.adapt_grad_norm or "spatial" in
+                  (mesh.axis_names if mesh else ())):
+                raise ValueError("shard_opt_state is incompatible with "
+                                 "adapt_grad_norm and spatial partitioning")
         self.rng = jax.random.PRNGKey(seed)
         self.epoch = 0
         self.training_steps = 0
@@ -191,6 +200,39 @@ class Trainer:
             # --- loss-scale unwind, all-reduce, clip ------------------
             grads = jax.tree_util.tree_map(
                 lambda g: g / hp["loss_scale"], grads)
+            if cfg.shard_opt_state:
+                # ZeRO-1: reduce-scatter the mean gradient, update this
+                # shard's slice, all-gather updated params
+                from jax.flatten_util import ravel_pytree
+                from convnet_tpu.parallel import zero
+                from convnet_tpu.regimes.optim import OPTIMIZERS
+                state = jax.lax.pmean(state, axis)
+                loss = jax.lax.pmean(loss, axis)
+                c1 = jax.lax.psum(c1, axis)
+                c5 = jax.lax.psum(c5, axis)
+                g_slice = zero.reduce_scatter_mean(
+                    grads, self._zero_padded, axis)
+                gnorm = jnp.sqrt(jax.lax.psum(
+                    jnp.sum(jnp.square(g_slice)), axis))
+                clip_scale = jnp.where(
+                    (hp["grad_clip"] > 0) & (gnorm > hp["grad_clip"]),
+                    hp["grad_clip"] / jnp.maximum(gnorm, 1e-12), 1.0)
+                g_slice = g_slice * clip_scale
+                flat_p, unravel = ravel_pytree(params)
+                flat_p = jnp.pad(
+                    flat_p, (0, self._zero_padded - flat_p.shape[0]))
+                p_slice = zero.shard_slice(flat_p, axis)
+                mask_slice = zero.shard_slice(
+                    jnp.asarray(self._zero_mask), axis)
+                spec = OPTIMIZERS[self.optim.optimizer_name]
+                p_slice, opt_state = spec["step"](
+                    p_slice, g_slice, opt_state, hp,
+                    mask01=mask_slice, **spec["kwargs"])
+                params = zero.gather_params(
+                    p_slice, unravel, self._zero_size, axis)
+                metrics = {"loss": loss, "correct1": c1, "correct5": c5,
+                           "grad_norm": gnorm}
+                return params, state, opt_state, metrics
             if self.spatial_axis is not None:
                 # trunk grads are shard-partial over the spatial axis
                 # (psum); replicated-head grads pass through
@@ -238,10 +280,11 @@ class Trainer:
         if self.mesh is not None:
             x_spec = (P(axis, self.spatial_axis) if self.spatial_axis
                       else P(axis))
+            opt_spec = (self._opt_specs if cfg.shard_opt_state else P())
             step = _shard_map_fn(
                 step, mesh=self.mesh,
-                in_specs=(P(), P(), P(), x_spec, P(axis), P(), P()),
-                out_specs=(P(), P(), P(), P()),
+                in_specs=(P(), P(), opt_spec, x_spec, P(axis), P(), P()),
+                out_specs=(P(), P(), opt_spec, P()),
                 check_vma=False,
             )
         return jax.jit(step, donate_argnums=(0, 1, 2))
@@ -308,6 +351,34 @@ class Trainer:
         from convnet_tpu.utils.param_filter import wd_mask as default_mask
         self._wd_mask = (wd_mask_tree if wd_mask_tree is not None
                          else default_mask(params))
+        if self.cfg.shard_opt_state:
+            if self.optim.uses_bounded_norm:
+                raise ValueError("shard_opt_state is incompatible with "
+                                 "BoundedWeightNorm")
+            # ZeRO-1 (parallel/zero.py): moments live as flat padded
+            # vectors sharded over 'data'; params stay replicated
+            from jax.sharding import NamedSharding
+            from convnet_tpu.parallel import zero
+            from convnet_tpu.parallel.mesh import replicate
+            n = self.mesh.shape[self.data_axis]
+            padded = zero.flat_size(params, n)
+            self._zero_padded = padded
+            self._zero_size = sum(int(x.size) for x in
+                                  jax.tree_util.tree_leaves(params))
+            self._zero_mask = zero.flat_mask01(params, self._wd_mask, n)
+            flat_template = jnp.zeros((padded,), jnp.float32)
+            opt_state = self.optim.init_state(flat_template)
+            self._opt_specs = jax.tree_util.tree_map(
+                lambda x: P(self.data_axis) if getattr(x, "ndim", 0) == 1
+                else P(), opt_state)
+            opt_state = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(
+                    x, NamedSharding(self.mesh, s)),
+                opt_state, self._opt_specs)
+            params = replicate(params, self.mesh)
+            state = replicate(state, self.mesh)
+            return params, state, opt_state
+
         opt_state = self.optim.init_state(params)
         if self.cfg.adapt_grad_norm and self.cfg.duplicates > 1:
             opt_state["agn_scale"] = jnp.float32(1.0)

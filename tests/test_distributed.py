@@ -152,3 +152,51 @@ def test_validate_remainder_batch_on_mesh():
     res_1 = tr1.validate([(x, y)], p1, s1)
     assert res_mesh["prec1"] == pytest.approx(res_1["prec1"], abs=1e-6)
     assert res_mesh["loss"] == pytest.approx(res_1["loss"], rel=1e-4)
+
+
+def test_zero1_sharded_optimizer_matches_replicated():
+    """ZeRO-1 (reduce-scatter grads → shard-local update → all-gather
+    params) reproduces the replicated-optimizer update, with moments
+    actually sharded (1/n per device)."""
+    model = models.build("resnet", dataset="cifar10", depth=20)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 10, (16,)).astype(np.int32)
+
+    def run(shard_opt, n_steps):
+        mesh = make_mesh(8) if shard_opt is not None else None
+        tr = Trainer(model, OptimRegime(model.regime), 10,
+                     TrainerConfig(print_freq=0, sync_bn=True,
+                                   shard_opt_state=bool(shard_opt)),
+                     mesh=mesh, seed=7)
+        p, s = model.init(jax.random.PRNGKey(0))
+        p, s, o = tr.initialize(p, s)
+        tr.optim.update(0, 0)
+        hp = tr._hp_device(tr.optim.hyperparams())
+        step = tr._get_train_step()
+        losses = []
+        for i in range(n_steps):
+            bx, by = tr._shard(jnp.asarray(x), jnp.asarray(y))
+            p, s, o, m = step(p, s, o, bx, by, hp, jax.random.PRNGKey(50 + i))
+            losses.append(float(m["loss"]))
+        return losses, jax.device_get(p), o
+
+    # one-step params tight (only fp32 reduction-order noise, see
+    # test_sharded_equals_single_device_with_sync_bn for the atol note)
+    _, params_z1, _ = run(True, 1)
+    _, params_r1, _ = run(None, 1)
+    for a, b in zip(jax.tree_util.tree_leaves(params_r1),
+                    jax.tree_util.tree_leaves(params_z1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+    # 3-step loss trajectories agree (each step consumes the previous
+    # step's params → updates track without divergence)
+    losses_z, _, opt_z = run(True, 3)
+    losses_r, _, _ = run(None, 3)
+    np.testing.assert_allclose(losses_z, losses_r, rtol=2e-3)
+    # moments are flat, padded, and sharded 1/8 per device
+    mu = opt_z["mu"]
+    assert mu.ndim == 1
+    assert len(mu.sharding.device_set) == 8
+    shard_sizes = {s.data.shape[0] for s in mu.addressable_shards}
+    assert shard_sizes == {mu.shape[0] // 8}
