@@ -51,3 +51,20 @@ def test_absorb_bn_mobilenet():
     y_fold, _ = model(fp, fs, x, ctx)
     np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_absorb_bn_googlenet_and_inception():
+    """Fold correctness on multi-branch architectures."""
+    for name, cfg, size in [("googlenet", {}, 64),
+                            ("inception_v3", {}, 96)]:
+        model = models.build(name, **cfg)
+        params, state = model.init(jax.random.PRNGKey(0))
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.abs(x) * 0.5 + 0.2, state)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, size, size, 3))
+        ctx = Context(train=False)
+        y_ref, _ = model(params, state, x, ctx)
+        fp, fs = search_absorb_bn(params, state)
+        y_fold, _ = model(fp, fs, x, ctx)
+        np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
+                                   rtol=2e-3, atol=2e-3)
