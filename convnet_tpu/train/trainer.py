@@ -149,6 +149,18 @@ class Trainer:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             x = self.policy.cast_to_compute(x)
 
+            # Loss scaling (reference train.py:~(_step) multiplies the
+            # loss by --loss-scale before backward): differentiate the
+            # SCALED loss so small bf16/fp16 gradients don't flush to
+            # zero, keep the unscaled loss in aux for metrics, and
+            # unscale the gradients right after (below).
+            loss_scale = hp["loss_scale"]
+
+            def scaled_loss_fn(params, state, x, y, rng, axis_name):
+                loss, (new_state, logits) = self._loss_fn(
+                    params, state, x, y, rng, axis_name)
+                return loss * loss_scale, (new_state, logits, loss)
+
             # --- mixup / cutmix (on device, soft targets) -------------
             if cfg.mixup_alpha > 0 or cfg.cutmix_alpha > 0:
                 rng, k = jax.random.split(rng)
@@ -162,7 +174,7 @@ class Trainer:
             # --- micro-batched forward/backward with grad accum -------
             chunks = cfg.chunk_batch
             b = x.shape[0]
-            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            grad_fn = jax.value_and_grad(scaled_loss_fn, has_aux=True)
             if chunks > 1:
                 xc = x.reshape(chunks, b // chunks, *x.shape[1:])
                 yc = y.reshape(chunks, b // chunks, *y.shape[1:])
@@ -171,7 +183,7 @@ class Trainer:
                     state, rng, gacc, lacc, c1a, c5a = carry
                     xi, yi = inputs
                     rng, k = jax.random.split(rng)
-                    (loss, (state, logits)), g = grad_fn(
+                    (_, (state, logits, loss)), g = grad_fn(
                         params, state, xi, yi, k, axis)
                     gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
                     cc1, cc5 = correct_topk(logits, yi, (1, 5))
@@ -193,13 +205,13 @@ class Trainer:
                 loss = loss / chunks
             else:
                 rng, k = jax.random.split(rng)
-                (loss, (state, logits)), grads = grad_fn(
+                (_, (state, logits, loss)), grads = grad_fn(
                     params, state, x, y, k, axis)
                 c1, c5 = correct_topk(logits, y, (1, 5))
 
             # --- loss-scale unwind, all-reduce, clip ------------------
             grads = jax.tree_util.tree_map(
-                lambda g: g / hp["loss_scale"], grads)
+                lambda g: g / loss_scale, grads)
             if cfg.shard_opt_state:
                 # ZeRO-1: reduce-scatter the mean gradient, update this
                 # shard's slice, all-gather updated params
@@ -253,14 +265,30 @@ class Trainer:
                 # gradient to the norm a single duplicate would produce.
                 # The ratio is re-measured every `adapt_grad_norm` steps
                 # (extra backward on one duplicate) and cached in the
-                # optimizer state between measurements.
-                sub = b // cfg.duplicates
+                # optimizer state between measurements. The loaders pack
+                # duplicates contiguously per sample (np.repeat), so the
+                # single-copy-per-sample reference batch is the STRIDED
+                # slice x[::d] — x[:b//d] would still be
+                # duplicate-contaminated (b/d² samples × d copies each).
                 rng, k = jax.random.split(rng)
                 cur_norm = global_norm(grads)
 
                 def measure(_):
                     (_, _), sub_grads = grad_fn(
-                        params, state, x[:sub], y[:sub], k, axis)
+                        params, state, x[::cfg.duplicates],
+                        y[::cfg.duplicates], k, axis)
+                    sub_grads = jax.tree_util.tree_map(
+                        lambda g: g / loss_scale, sub_grads)
+                    # reduce like the main gradient path so every
+                    # replica measures the same target norm (otherwise
+                    # per-replica scales desynchronize the params)
+                    if self.spatial_axis is not None:
+                        from convnet_tpu.parallel.spatial import (
+                            spatial_grad_reduce)
+                        sub_grads = spatial_grad_reduce(
+                            sub_grads, self.spatial_axis)
+                    if axis is not None:
+                        sub_grads = jax.lax.pmean(sub_grads, axis)
                     target = global_norm(sub_grads)
                     return target / jnp.maximum(cur_norm, 1e-12)
 

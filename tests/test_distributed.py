@@ -154,6 +154,49 @@ def test_validate_remainder_batch_on_mesh():
     assert res_mesh["loss"] == pytest.approx(res_1["loss"], rel=1e-4)
 
 
+def test_adapt_grad_norm_on_mesh_matches_single_device():
+    """adapt-grad-norm under data parallelism: the measured scale must
+    be computed from the CROSS-REPLICA sub-batch gradient (pmean), so
+    every replica applies the same scale and the sharded step equals
+    the single-device step on the same global batch.
+
+    Regression: round 1 measured on the local shard only with no
+    collective — per-replica scales diverged and params silently
+    desynchronized."""
+    rng = np.random.default_rng(3)
+    # 8 distinct samples × 2 contiguous duplicates = global batch 16
+    # → 2 samples/replica on the 8-way mesh (duplicates don't straddle
+    # shard boundaries, matching the loader's np.repeat packing)
+    x = np.repeat(rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+                  2, axis=0)
+    y = np.repeat(rng.integers(0, 10, 8), 2).astype(np.int32)
+
+    def run(mesh):
+        model = models.build("resnet", dataset="cifar10", depth=20)
+        tr = Trainer(model, OptimRegime(model.regime), 10,
+                     TrainerConfig(print_freq=0, sync_bn=mesh is not None,
+                                   duplicates=2, adapt_grad_norm=1),
+                     mesh=mesh, seed=7)
+        p, s = model.init(jax.random.PRNGKey(0))
+        p, s, o = tr.initialize(p, s)
+        tr.optim.update(0, 0)
+        hp = tr._hp_device(tr.optim.hyperparams())
+        step = tr._get_train_step()
+        bx, by = jnp.asarray(x), jnp.asarray(y)
+        if mesh is not None:
+            bx, by = shard_batch((bx, by), mesh)
+        p, s, o, m = step(p, s, o, bx, by, hp, jax.random.PRNGKey(50))
+        return jax.device_get(p), float(o["agn_scale"])
+
+    params_1, scale_1 = run(None)
+    params_8, scale_8 = run(make_mesh(8))
+    assert scale_8 == pytest.approx(scale_1, rel=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(params_1),
+                    jax.tree_util.tree_leaves(params_8)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_zero1_sharded_optimizer_matches_replicated():
     """ZeRO-1 (reduce-scatter grads → shard-local update → all-gather
     params) reproduces the replicated-optimizer update, with moments

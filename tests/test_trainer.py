@@ -134,6 +134,79 @@ def test_calibrate_bn():
     assert float(jnp.max(jnp.abs(m))) > 0
 
 
+def _one_step(tr, params, state, opt_state, x, y, rng_seed=5):
+    tr.optim.update(0, 0)
+    hp = tr._hp_device(tr.optim.hyperparams())
+    step = tr._get_train_step()
+    return step(params, state, opt_state, jnp.asarray(x), jnp.asarray(y),
+                hp, jax.random.PRNGKey(rng_seed))
+
+
+def test_loss_scale_invariance():
+    """--loss-scale S must be a numerical no-op in fp32: the loss is
+    multiplied by S before differentiation and the gradients divided by
+    S after (reference train.py:~(_step) semantics) — reported loss,
+    grad_norm, and the post-step params are invariant to S.
+
+    Regression: round 1 only had the unscale division, so S silently
+    divided the effective learning rate by S."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 10, 16).astype(np.int32)
+
+    results = {}
+    for s in (1.0, 8.0, 4096.0):
+        model, tr, params, state, opt_state = _make(
+            model_cfg={"depth": 8}, loss_scale=s)
+        p, st, o, m = _one_step(tr, params, state, opt_state, x, y)
+        results[s] = (float(m["loss"]), float(m["grad_norm"]),
+                      jax.device_get(p))
+
+    loss1, gn1, p1 = results[1.0]
+    for s in (8.0, 4096.0):
+        loss_s, gn_s, p_s = results[s]
+        assert loss_s == pytest.approx(loss1, rel=1e-5)
+        assert gn_s == pytest.approx(gn1, rel=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p_s)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_loss_scale_bf16_stays_finite():
+    """Large static loss scale under the bf16 policy: gradients must
+    neither flush to zero nor overflow to inf after the unscale."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 10, 16).astype(np.int32)
+    model, tr, params, state, opt_state = _make(
+        model_cfg={"depth": 8}, dtype="bf16", loss_scale=4096.0)
+    _, _, _, m = _one_step(tr, params, state, opt_state, x, y)
+    gn = float(m["grad_norm"])
+    assert np.isfinite(gn) and gn > 1e-3
+
+
+def test_adapt_grad_norm_identical_duplicates_scale_is_one():
+    """Constructed case: duplicates that are EXACT copies. The mean
+    gradient over the duplicated batch equals the gradient over one
+    copy per sample, so the faithful single-duplicate reference slice
+    (x[::d], one copy per distinct sample) must measure scale ≈ 1.
+
+    Regression: the round-1 leading-block slice x[:b//d] held b/d²
+    distinct samples × d copies each (loaders pack duplicates
+    contiguously), which measures a different gradient and a scale
+    far from 1."""
+    model, tr, params, state, opt_state = _make(
+        model_cfg={"depth": 8}, duplicates=2, adapt_grad_norm=1)
+    rng = np.random.default_rng(2)
+    x = np.repeat(rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+                  2, axis=0)
+    y = np.repeat(rng.integers(0, 10, 8), 2).astype(np.int32)
+    _, _, opt_state, _ = _one_step(tr, params, state, opt_state, x, y)
+    scale = float(opt_state["agn_scale"])
+    assert scale == pytest.approx(1.0, abs=5e-3), scale
+
+
 def test_adapt_grad_norm():
     """Batch-augmentation gradient rescaling runs and caches its scale."""
     model, tr, params, state, opt_state = _make(duplicates=2,
