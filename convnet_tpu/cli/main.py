@@ -54,6 +54,11 @@ def build_parser():
                    help="override the model regime's optimizer")
     p.add_argument("--lr", type=float, default=None,
                    help="override the model regime's base lr")
+    p.add_argument("--momentum", type=float, default=None,
+                   help="override the model regime's momentum")
+    p.add_argument("--weight-decay", type=float, default=None,
+                   help="override the model regime's (decoupled) weight "
+                        "decay value")
     p.add_argument("--label-smoothing", type=float, default=0.0)
     p.add_argument("--mixup", type=float, default=0.0, help="mixup alpha")
     p.add_argument("--cutmix", type=float, default=0.0, help="cutmix alpha")
@@ -111,7 +116,8 @@ def main(argv=None):
     from convnet_tpu.regimes.optim import OptimRegime
     from convnet_tpu.train.trainer import Trainer, TrainerConfig
     from convnet_tpu.utils.checkpoint import (
-        save_checkpoint, load_checkpoint, tree_dtype_cast_like)
+        save_checkpoint, load_checkpoint, tree_dtype_cast_like,
+        tree_place_like)
     from convnet_tpu.utils.log import (
         setup_logging, ResultsLog, export_args_namespace)
     from convnet_tpu.utils.misc import set_global_seeds
@@ -149,12 +155,17 @@ def main(argv=None):
 
     regime = list(getattr(model, "regime", [{"epoch": 0, "optimizer": "SGD",
                                              "lr": 0.1, "momentum": 0.9}]))
-    if args.optimizer or args.lr is not None:
-        override = {}
-        if args.optimizer:
-            override["optimizer"] = args.optimizer
-        if args.lr is not None:
-            override["lr"] = args.lr
+    override = {}
+    if args.optimizer:
+        override["optimizer"] = args.optimizer
+    if args.lr is not None:
+        override["lr"] = args.lr
+    if args.momentum is not None:
+        override["momentum"] = args.momentum
+    if args.weight_decay is not None:
+        override["regularizer"] = {"name": "WeightDecay",
+                                   "value": args.weight_decay}
+    if override:
         regime = [{**regime[0], **override}] + regime[1:]
     optim = OptimRegime(regime)
 
@@ -194,6 +205,7 @@ def main(argv=None):
     best_prec1 = 0.0
     start_epoch = args.start_epoch
     training_steps = 0
+    ckpt = None
     if args.resume or args.evaluate:
         ckpt_path = args.resume or args.evaluate
         ckpt = load_checkpoint(ckpt_path)
@@ -206,13 +218,12 @@ def main(argv=None):
                  ckpt.get("epoch"))
 
     params, state, opt_state = trainer.initialize(params, state)
-    if args.resume:
-        ckpt_opt = load_checkpoint(args.resume).get("opt_state")
-        if ckpt_opt is not None:
-            opt_state = tree_dtype_cast_like(ckpt_opt, opt_state)
-            if mesh is not None:
-                from convnet_tpu.parallel.mesh import replicate
-                opt_state = replicate(opt_state, mesh)
+    if args.resume and ckpt.get("opt_state") is not None:
+        restored = tree_dtype_cast_like(ckpt["opt_state"], opt_state)
+        # preserve whatever placement initialize() chose for each leaf
+        # (fully replicated, or ZeRO-1 P(data)-sharded flat moments) —
+        # re-replicating a sharded moment vector would undo ZeRO-1
+        opt_state = tree_place_like(restored, opt_state)
     trainer.training_steps = training_steps
 
     # ---- data regimes (model may author its own) --------------------

@@ -159,6 +159,24 @@ def get_transform(transform_name: str = "imagenet",
         name, DATASET_STATS["imagenet"])
     mean, std = stats["mean"], stats["std"]
 
+    if not augment and duplicates > 1 and not multicrop:
+        # Reference TTA duplicates are DIFFERENT augmentations; the
+        # deterministic eval transform would average K identical logits
+        # (pure waste). For PIL-path datasets, upgrade to deterministic
+        # multi-crop TTA; array datasets (identity host) can only warn.
+        import logging
+        if name in ("cifar10", "cifar100", "svhn", "stl10", "mnist"):
+            logging.getLogger(__name__).warning(
+                "eval duplicates=%d on %s average IDENTICAL copies "
+                "(deterministic transform, no multicrop) — this burns "
+                "compute without TTA benefit", duplicates, name)
+        else:
+            logging.getLogger(__name__).warning(
+                "eval duplicates=%d without --multicrop would average "
+                "identical copies — enabling deterministic multi-crop "
+                "TTA (center/corner crops + mirrors)", duplicates)
+            multicrop = True
+
     if name in ("cifar10", "cifar100", "svhn", "stl10", "mnist"):
         default_size = {"stl10": 96, "mnist": 28}.get(name, 32)
         size = input_size or default_size

@@ -2,8 +2,9 @@
 
 TPU-native rebuild of the reference's models/modules/se.py:~5–60
 (approx., unverified — SURVEY.md §2.2): global-pool → FC bottleneck →
-gate. The gate multiply is a natural Pallas fusion target
-(ops/pallas/residual.py fuses gate*x (+residual) + ReLU).
+gate. The gate multiply is a pointwise epilogue XLA fuses into the
+surrounding block (the guaranteed-fusion Pallas floor for such
+epilogues is ops/pallas/matmul_fused.py).
 """
 
 from __future__ import annotations

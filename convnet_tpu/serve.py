@@ -27,12 +27,21 @@ class Predictor:
     def __init__(self, model_name: str, model_config: Optional[dict] = None,
                  checkpoint: Optional[str] = None, dtype: str = "bf16",
                  batch_size: int = 64, absorb_bn: bool = True,
-                 impl: Optional[str] = None):
+                 impl: Optional[str] = None, normalize="auto"):
+        """``normalize``: dataset mean/std applied on-device after the
+        /255 scaling — the same normalization the training pipeline
+        applies (data/preprocess.py DATASET_STATS), so checkpoints
+        trained with the framework's own loaders produce correct
+        logits through this path. ``"auto"`` resolves the dataset name
+        from the checkpoint's config (falling back to model_config /
+        imagenet); pass a dataset name, a ``{"mean","std"}`` dict, or
+        ``None`` to disable (inputs already normalized)."""
         self.model = models.build(model_name, **(model_config or {}))
         self.policy = get_policy(dtype)
         self.batch_size = batch_size
         self.impl = impl or "xla"
 
+        ckpt = None
         if checkpoint:
             ckpt = load_checkpoint(checkpoint)
             params, state = ckpt["params"], ckpt["state"]
@@ -45,16 +54,36 @@ class Predictor:
         self.params = jax.device_put(params)
         self.state = jax.device_put(state)
 
+        from convnet_tpu.data.preprocess import DATASET_STATS
+        if normalize == "auto":
+            dataset = ((ckpt or {}).get("config") or {}).get("dataset") or \
+                (model_config or {}).get("dataset") or \
+                (model_name if model_name.lower() in DATASET_STATS
+                 else "imagenet")
+            normalize = DATASET_STATS.get(str(dataset).lower(),
+                                          DATASET_STATS["imagenet"])
+        elif isinstance(normalize, str):
+            normalize = DATASET_STATS[normalize.lower()]
+        if normalize is not None:
+            self._mean = jnp.asarray(normalize["mean"], jnp.float32)
+            self._std = jnp.asarray(normalize["std"], jnp.float32)
+        else:
+            self._mean = self._std = None
+
         model = self.model
         policy = self.policy
+        mean, std = self._mean, self._std
 
         @jax.jit
         def forward(params, state, x):
             # uint8 inputs are scaled on-device: the host→device
             # transfer then moves 1 byte/px instead of 4 (PCIe/link
-            # bandwidth is the serving bottleneck at batch size)
+            # bandwidth is the serving bottleneck at batch size).
+            # Float inputs are expected in [0, 1] (post-/255).
             if x.dtype == jnp.uint8:
                 x = x.astype(policy.compute_dtype) / 255.0
+            if mean is not None:
+                x = (x - mean.astype(x.dtype)) / std.astype(x.dtype)
             ctx = Context(train=False, policy=policy, impl=self.impl)
             logits, _ = model(params, state, policy.cast_to_compute(x), ctx)
             return logits.astype(jnp.float32)

@@ -421,17 +421,38 @@ class Trainer:
         return {k: jnp.float32(v) for k, v in hp.items()}
 
     def _shard(self, *arrays):
+        """Place host batches on the mesh.
+
+        Multi-host: each process's loader yields only its LOCAL slice
+        of the global batch (DataRegime applies per-host sharding), so
+        the global array must be assembled with
+        ``make_array_from_process_local_data`` — a plain ``device_put``
+        would treat every host's different local slice as the same
+        global value. This mirrors parallel/mesh.py ``shard_batch``
+        (the jax.Array analog of DistributedSampler + per-rank
+        batches, SURVEY.md §2.4)."""
         if self.mesh is None:
             return arrays
         import numpy as _np
         from jax.sharding import NamedSharding
+        multihost = jax.process_count() > 1
+        if multihost and self.spatial_axis is not None:
+            raise NotImplementedError(
+                "spatial partitioning across hosts is not supported: the "
+                "loader shards the batch axis per host, not activation "
+                "height")
         out = []
         for a in arrays:
             if self.spatial_axis is not None and getattr(a, "ndim", 0) == 4:
                 spec = P(self.data_axis, self.spatial_axis)
             else:
                 spec = P(self.data_axis)
-            out.append(jax.device_put(a, NamedSharding(self.mesh, spec)))
+            sharding = NamedSharding(self.mesh, spec)
+            if multihost:
+                out.append(jax.make_array_from_process_local_data(
+                    sharding, _np.asarray(a)))
+            else:
+                out.append(jax.device_put(a, sharding))
         return tuple(out)
 
     # ------------------------------------------------------------------
@@ -529,6 +550,17 @@ class Trainer:
         acc = AccuracyMeter()
         pad_to = (self.mesh.shape[self.data_axis] if self.mesh is not None
                   else 1) * max(self.cfg.duplicates, 1)
+        # metrics drain lazily (lag-2 deque, same as train_epoch) so the
+        # host never syncs on the batch it just enqueued — eval batches
+        # stream back-to-back on the device
+        pending = collections.deque()
+
+        def drain():
+            m = pending.popleft()
+            n = int(float(m["count"]))
+            loss_m.update(float(m["loss"]), n)
+            acc.update((float(m["correct1"]), float(m["correct5"])), n)
+
         for x, y in loader:
             x, y = jnp.asarray(x), jnp.asarray(y)
             if x.shape[0] % pad_to:
@@ -540,10 +572,11 @@ class Trainer:
                 y = jnp.concatenate(
                     [y, jnp.full((extra,), -100, y.dtype)])
             x, y = self._shard(x, y)
-            m = self._eval_fn(params, state, x, y)
-            n = int(float(m["count"]))
-            loss_m.update(float(m["loss"]), n)
-            acc.update((float(m["correct1"]), float(m["correct5"])), n)
+            pending.append(self._eval_fn(params, state, x, y))
+            while len(pending) > 2:
+                drain()
+        while pending:
+            drain()
         return {"loss": loss_m.avg, "prec1": acc.value(1),
                 "prec5": acc.value(5)}
 

@@ -109,6 +109,17 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return ckpt
 
 
+def tree_place_like(tree, template):
+    """device_put each loaded leaf with the placement of the matching
+    template leaf — resuming preserves whatever sharding the trainer
+    chose at initialize() (fully replicated, or ZeRO-1 P(data)-sharded
+    flat moment vectors) instead of forcing replication."""
+    return jax.tree_util.tree_map(
+        lambda loaded, cur: (jax.device_put(loaded, cur.sharding)
+                             if hasattr(cur, "sharding") else loaded),
+        tree, template)
+
+
 def tree_dtype_cast_like(tree, template):
     """Cast loaded numpy arrays to the dtypes of a freshly-initialized
     template tree (e.g. bf16 params round-trip through npz as-is, but

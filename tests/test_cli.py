@@ -77,7 +77,8 @@ def test_parser_covers_reference_flags():
                  "--chunk-batch", "--grad-clip", "--adapt-grad-norm",
                  "--autoaugment", "--cutout", "--workers", "--print-freq",
                  "--save", "--results-dir", "--save-all", "--loss-scale",
-                 "--sync-bn", "--dist-init", "--input-size"]:
+                 "--sync-bn", "--dist-init", "--input-size",
+                 "--momentum", "--weight-decay"]:
         assert flag in opts, flag
 
 
@@ -92,6 +93,22 @@ def test_cli_spatial_2d_mesh(tmp_path):
     ])
     assert "best_prec1" in res
     assert (tmp_path / "sp" / "checkpoint.npz").exists()
+
+
+def test_cli_zero1_resume(tmp_path):
+    """--shard-opt-state train → resume exercises the CLI's
+    placement-preserving optimizer-state restore on the 8-device mesh."""
+    zargs = ["--num-devices", "8", "--shard-opt-state", "--sync-bn"]
+    _run(tmp_path, *zargs)
+    main([
+        "--dataset", "synthetic", "--model", "resnet",
+        "--model-config", "{'depth': 20}",
+        "-b", "16", "--epochs", "2", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "t",
+        "--resume", str(tmp_path / "t"), *zargs,
+    ])
+    rows = json.loads((tmp_path / "t" / "results.json").read_text())
+    assert rows[-1]["epoch"] == 1
 
 
 def test_evaluate_with_calibrate_bn(tmp_path):

@@ -154,6 +154,64 @@ def test_validate_remainder_batch_on_mesh():
     assert res_mesh["loss"] == pytest.approx(res_1["loss"], rel=1e-4)
 
 
+def test_zero1_checkpoint_resume_bitwise(tmp_path):
+    """Save → restore under --shard-opt-state must (a) keep the moment
+    vectors SHARDED (placement-preserving restore, not re-replication)
+    and (b) continue bit-identically to an uninterrupted run."""
+    from convnet_tpu.utils.checkpoint import (
+        save_checkpoint, load_checkpoint, tree_dtype_cast_like,
+        tree_place_like)
+
+    model = models.build("resnet", dataset="cifar10", depth=20)
+    rng = np.random.default_rng(4)
+    batches = [(rng.standard_normal((16, 32, 32, 3)).astype(np.float32),
+                rng.integers(0, 10, (16,)).astype(np.int32))
+               for _ in range(3)]
+
+    def make():
+        tr = Trainer(model, OptimRegime(model.regime), 10,
+                     TrainerConfig(print_freq=0, sync_bn=True,
+                                   shard_opt_state=True),
+                     mesh=make_mesh(8), seed=7)
+        p, s = model.init(jax.random.PRNGKey(0))
+        p, s, o = tr.initialize(p, s)
+        tr.optim.update(0, 0)
+        return tr, p, s, o
+
+    def steps(tr, p, s, o, batch_list, seed0):
+        hp = tr._hp_device(tr.optim.hyperparams())
+        step = tr._get_train_step()
+        for i, (x, y) in enumerate(batch_list):
+            bx, by = tr._shard(jnp.asarray(x), jnp.asarray(y))
+            p, s, o, _ = step(p, s, o, bx, by, hp,
+                              jax.random.PRNGKey(seed0 + i))
+        return p, s, o
+
+    # straight: 1 step, checkpoint, 2 more steps
+    tr, p, s, o = make()
+    p, s, o = steps(tr, p, s, o, batches[:1], 50)
+    f = save_checkpoint({"epoch": 0, "params": p, "state": s,
+                         "opt_state": o}, False, str(tmp_path))
+    p, s, o = steps(tr, p, s, o, batches[1:], 51)
+    straight = jax.device_get(p)
+
+    # resumed: fresh trainer, CLI-style placement-preserving restore
+    tr2, p2, s2, o2 = make()
+    ckpt = load_checkpoint(f)
+    p2 = tree_place_like(tree_dtype_cast_like(ckpt["params"], p2), p2)
+    s2 = tree_place_like(tree_dtype_cast_like(ckpt["state"], s2), s2)
+    o2 = tree_place_like(tree_dtype_cast_like(ckpt["opt_state"], o2), o2)
+    # moments stayed sharded 1/8 per device after restore
+    shard_sizes = {sh.data.shape[0] for sh in o2["mu"].addressable_shards}
+    assert shard_sizes == {o2["mu"].shape[0] // 8}
+    p2, s2, o2 = steps(tr2, p2, s2, o2, batches[1:], 51)
+    resumed = jax.device_get(p2)
+    for a, b in zip(jax.tree_util.tree_leaves(straight),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_adapt_grad_norm_on_mesh_matches_single_device():
     """adapt-grad-norm under data parallelism: the measured scale must
     be computed from the CROSS-REPLICA sub-batch gradient (pmean), so

@@ -1,11 +1,14 @@
 """Predictor (serving path) tests."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from convnet_tpu.serve import Predictor
 from convnet_tpu.utils.checkpoint import save_checkpoint
 from convnet_tpu import models
+from convnet_tpu.core.module import Context
+from convnet_tpu.data.preprocess import DATASET_STATS
 
 
 def test_predictor_basic():
@@ -27,15 +30,47 @@ def test_predictor_from_checkpoint(tmp_path):
                     False, str(tmp_path))
     p = Predictor("resnet", {"dataset": "cifar10", "depth": 20},
                   checkpoint=str(tmp_path), dtype="float32", batch_size=4,
-                  impl="xla")
+                  impl="xla", normalize=None)
     x = np.random.default_rng(1).random((9, 32, 32, 3)).astype(np.float32)
     logits = p.predict_logits(x)
     assert logits.shape == (9, 10)
-    # absorb-bn predictor must match the raw model's eval forward
-    from convnet_tpu.core.module import Context
-    import jax.numpy as jnp
+    # absorb-bn predictor (normalization disabled) must match the raw
+    # model's eval forward on the same tensor
     y_ref, _ = m(params, state, jnp.asarray(x), Context(train=False))
     np.testing.assert_allclose(logits, np.asarray(y_ref), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_predictor_applies_dataset_normalization(tmp_path):
+    """The serving forward must apply the SAME mean/std normalization
+    the training pipeline applied (data/preprocess.py), resolved from
+    the checkpoint's dataset config — raw [0,1] (or uint8) inputs then
+    produce the logits the trained model expects."""
+    m = models.build("resnet", dataset="cifar10", depth=20)
+    params, state = m.init(jax.random.PRNGKey(7))
+    save_checkpoint({"params": params, "state": state, "epoch": 0,
+                     "config": {"dataset": "cifar10", "depth": 20}},
+                    False, str(tmp_path))
+    p = Predictor("resnet", {"dataset": "cifar10", "depth": 20},
+                  checkpoint=str(tmp_path), dtype="float32", batch_size=4,
+                  impl="xla")  # normalize="auto" → cifar10 stats
+    x01 = np.random.default_rng(1).random((4, 32, 32, 3)).astype(np.float32)
+    logits = p.predict_logits(x01)
+    stats = DATASET_STATS["cifar10"]
+    x_norm = (x01 - np.asarray(stats["mean"], np.float32)) / \
+        np.asarray(stats["std"], np.float32)
+    y_ref, _ = m(params, state, jnp.asarray(x_norm), Context(train=False))
+    np.testing.assert_allclose(logits, np.asarray(y_ref), rtol=1e-3,
+                               atol=1e-3)
+    # uint8 path: /255 then normalize, same result
+    x_u8 = (x01 * 255).astype(np.uint8)
+    logits_u8 = p.predict_logits(x_u8)
+    y_ref_u8, _ = m(params, state,
+                    jnp.asarray((x_u8.astype(np.float32) / 255.0
+                                 - np.asarray(stats["mean"], np.float32))
+                                / np.asarray(stats["std"], np.float32)),
+                    Context(train=False))
+    np.testing.assert_allclose(logits_u8, np.asarray(y_ref_u8), rtol=1e-3,
                                atol=1e-3)
 
 
