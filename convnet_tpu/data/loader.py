@@ -147,16 +147,39 @@ class DataLoader:
         blob_mode = (hasattr(self.dataset, "read_blobs")
                      and hasattr(self.dataset, "decode"))
 
-        def assemble():
+        # IO/decode overlap: a dedicated reader thread keeps a bounded
+        # queue of raw-blob batches ahead of the decoder, so archive
+        # pread (GIL-free in the native pool) for batch k+1 runs while
+        # batch k decodes — the role the reference's multi-worker
+        # DataLoader fills with processes
+        blob_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def read_ahead():
             try:
                 for b in range(num_batches):
                     if stop.is_set():
                         return
                     idx = shard[b * self.batch_size:(b + 1) * self.batch_size]
+                    unique = list(dict.fromkeys(int(i) for i in idx))
+                    blob_q.put((idx, dict(zip(
+                        unique, self.dataset.read_blobs(unique)))))
+                blob_q.put(None)
+            except Exception as e:
+                blob_q.put(e)
+
+        if blob_mode:
+            threading.Thread(target=read_ahead, daemon=True).start()
+
+        def assemble():
+            try:
+                for b in range(num_batches):
+                    if stop.is_set():
+                        return
                     if blob_mode:
-                        unique = list(dict.fromkeys(int(i) for i in idx))
-                        blobs = dict(zip(unique,
-                                         self.dataset.read_blobs(unique)))
+                        item = blob_q.get()
+                        if isinstance(item, Exception):
+                            raise item
+                        idx, blobs = item
                         labels = self.dataset.labels
                         tasks = [
                             (blobs[int(i)], int(labels[int(i)]),
@@ -165,6 +188,8 @@ class DataLoader:
                             for i in idx for d in range(dup)]
                         results = list(pool.map(self._decode_blob, tasks))
                     else:
+                        idx = shard[b * self.batch_size:
+                                    (b + 1) * self.batch_size]
                         tasks = [
                             (int(i),
                              hash((self.seed, self.epoch, int(i), d))

@@ -14,20 +14,19 @@
 //                   spans into one contiguous destination buffer,
 //                   fanned out over a thread pool — the per-batch
 //                   "gather samples from archive" step.
-//   3. prefetch ring: a bounded multi-producer/single-consumer queue of
-//                   filled batch buffers, so decode/augment (Python/PIL
-//                   or device) overlaps archive IO.
+//
+// IO/decode overlap lives in Python (data/loader.py read-ahead thread
+// + bounded queue): batch_read releases the GIL inside its pread pool,
+// so a plain queue.Queue gives the overlap without the double memcpy a
+// native byte-buffer ring would add.
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 // Build: native/Makefile → libconvnet_dataio.so; Python wrapper:
 // convnet_tpu/data/native.py (falls back to pure Python when absent).
 
 #include <atomic>
-#include <condition_variable>
 #include <cstdint>
 #include <cstring>
-#include <deque>
-#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -153,62 +152,5 @@ int ctpu_batch_read(const char* path, const int64_t* offsets,
   close(fd);
   return err.load() ? -2 : 0;
 }
-
-// ---------------------------------------------------------------------------
-// 3. prefetch ring (bounded queue of filled byte buffers)
-// ---------------------------------------------------------------------------
-
-struct Ring {
-  std::mutex mu;
-  std::condition_variable cv_put, cv_get;
-  std::deque<std::vector<unsigned char>> q;
-  size_t capacity;
-  bool closed = false;
-};
-
-void* ctpu_ring_create(int capacity) {
-  auto* r = new Ring();
-  r->capacity = capacity > 0 ? static_cast<size_t>(capacity) : 2;
-  return r;
-}
-
-// Blocking put (copies `n` bytes). Returns 0, or -1 if closed.
-int ctpu_ring_put(void* ring, const unsigned char* data, int64_t n) {
-  auto* r = static_cast<Ring*>(ring);
-  std::unique_lock<std::mutex> lk(r->mu);
-  r->cv_put.wait(lk, [&] { return r->q.size() < r->capacity || r->closed; });
-  if (r->closed) return -1;
-  r->q.emplace_back(data, data + n);
-  r->cv_get.notify_one();
-  return 0;
-}
-
-// Blocking get: copies up to `cap` bytes into dst; returns byte count,
-// 0 if closed-and-empty, -2 if the buffer didn't fit (item requeued).
-int64_t ctpu_ring_get(void* ring, unsigned char* dst, int64_t cap) {
-  auto* r = static_cast<Ring*>(ring);
-  std::unique_lock<std::mutex> lk(r->mu);
-  r->cv_get.wait(lk, [&] { return !r->q.empty() || r->closed; });
-  if (r->q.empty()) return 0;
-  auto& item = r->q.front();
-  if (static_cast<int64_t>(item.size()) > cap) return -2;
-  int64_t n = static_cast<int64_t>(item.size());
-  memcpy(dst, item.data(), static_cast<size_t>(n));
-  r->q.pop_front();
-  r->cv_put.notify_one();
-  return n;
-}
-
-void ctpu_ring_close(void* ring) {
-  auto* r = static_cast<Ring*>(ring);
-  {
-    std::lock_guard<std::mutex> lk(r->mu);
-    r->closed = true;
-  }
-  r->cv_get.notify_all();
-  r->cv_put.notify_all();
-}
-
-void ctpu_ring_destroy(void* ring) { delete static_cast<Ring*>(ring); }
 
 }  // extern "C"
