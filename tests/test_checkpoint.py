@@ -88,3 +88,19 @@ def test_results_log(tmp_path):
     assert os.path.exists(rl.json_path)
     rl2 = ResultsLog(str(tmp_path)).load()
     assert len(rl2.rows) == 2
+
+
+def test_results_log_html(tmp_path):
+    """Interactive HTML curves (the reference's bokeh output,
+    SURVEY.md §5.5) render self-contained: SVG panels with per-point
+    hover tooltips, no external deps."""
+    rl = ResultsLog(str(tmp_path), title="t")
+    for e in range(4):
+        rl.add(epoch=e, train_loss=2.0 / (e + 1), val_loss=2.5 / (e + 1))
+    rl.plot("epoch", ["train_loss", "val_loss"], "loss", "loss")
+    rl.save()
+    assert os.path.exists(rl.html_path)
+    html = open(rl.html_path).read()
+    assert html.count("<svg") == 1
+    assert "train_loss @ epoch=3" in html  # hover tooltip with value
+    assert "<path" in html  # line series
