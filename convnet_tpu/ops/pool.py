@@ -113,9 +113,11 @@ def _mp_bwd(kernel, stride, padding, x_shape, x_dtype, idx, dy):
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     b, h, w, c = x_shape
-    dy = dy.astype(jnp.float32)
-
-    # --- columns first: for each row-tap di, an array over padded cols
+    # The pass is HBM-bandwidth-bound; accumulate in dy's own dtype.
+    # Each dx element receives at most ceil(k/s)² routed terms (4 for
+    # 3×3/2), and argmax routing is dtype-exact, so bf16 training gets
+    # a bf16 backward at half the traffic (measured −8 ms on the RN50
+    # step, scripts/tpu_bench15_results.txt); fp32 stays fp32.
     qw = (kw - 1) // sw
     row_terms = []
     for di in range(kh):
@@ -123,12 +125,12 @@ def _mp_bwd(kernel, stride, padding, x_shape, x_dtype, idx, dy):
         for rc in range(sw):
             acc = None
             for dj in range(rc, kw, sw):
-                contrib = dy * (idx == jnp.uint8(di * kw + dj))
+                contrib = dy * (idx == jnp.uint8(di * kw + dj)).astype(dy.dtype)
                 shifted = _shift_pad(contrib, 2, dj // sw, qw - dj // sw)
                 acc = shifted if acc is None else acc + shifted
             col_planes.append(acc if acc is not None
                               else jnp.zeros(_shift_pad(dy, 2, 0, qw).shape,
-                                             jnp.float32))
+                                             dy.dtype))
         row_terms.append(_interleave(col_planes, sw, 2, w, pw))
 
     # --- rows: same decomposition over di
@@ -141,7 +143,7 @@ def _mp_bwd(kernel, stride, padding, x_shape, x_dtype, idx, dy):
             acc = shifted if acc is None else acc + shifted
         row_planes.append(acc if acc is not None
                           else jnp.zeros(_shift_pad(row_terms[0], 1, 0, qh).shape,
-                                         jnp.float32))
+                                         dy.dtype))
     dx = _interleave(row_planes, sh, 1, h, ph)
     return dx.astype(x_dtype)
 

@@ -62,50 +62,24 @@ mp_f = jax.jit(lambda x: pool_mod.max_pool2d(x, 3, 2, 1))
 log(f"pool fwd (argmax): {timeit(mp_f, x_pool)*1e3:.2f}ms")
 mp_g = jax.jit(jax.grad(lambda x: pool_mod.max_pool2d(x, 3, 2, 1)
                         .astype(jnp.float32).sum()))
-log(f"pool fwd+bwd fp32-bwd (current): {timeit(mp_g, x_pool)*1e3:.2f}ms")
+log(f"pool fwd+bwd dy-dtype bwd (landed): {timeit(mp_g, x_pool)*1e3:.2f}ms")
 
-_orig_bwd = pool_mod._mp_bwd
-def _mp_bwd_bf16(kernel, stride, padding, x_shape, x_dtype, idx, dy):
-    kh, kw = pool_mod._pair(kernel); sh, sw = pool_mod._pair(stride)
-    ph, pw = pool_mod._pair(padding)
-    b, h, w, c = x_shape
-    qw = (kw - 1) // sw
-    row_terms = []
-    for di in range(kh):
-        col_planes = []
-        for rc in range(sw):
-            acc = None
-            for dj in range(rc, kw, sw):
-                contrib = dy * (idx == jnp.uint8(di * kw + dj)).astype(dy.dtype)
-                shifted = pool_mod._shift_pad(contrib, 2, dj // sw, qw - dj // sw)
-                acc = shifted if acc is None else acc + shifted
-            col_planes.append(acc if acc is not None
-                              else jnp.zeros(pool_mod._shift_pad(dy, 2, 0, qw).shape, dy.dtype))
-        row_terms.append(pool_mod._interleave(col_planes, sw, 2, w, pw))
-    qh = (kh - 1) // sh
-    row_planes = []
-    for rr in range(sh):
-        acc = None
-        for di in range(rr, kh, sh):
-            shifted = pool_mod._shift_pad(row_terms[di], 1, di // sh, qh - di // sh)
-            acc = shifted if acc is None else acc + shifted
-        row_planes.append(acc if acc is not None
-                          else jnp.zeros(pool_mod._shift_pad(row_terms[0], 1, 0, qh).shape, dy.dtype))
-    dx = pool_mod._interleave(row_planes, sh, 1, h, ph)
-    return dx.astype(x_dtype)
-
-pool_mod._mp_bwd = _mp_bwd_bf16
+# forced-fp32 backward (the round-1 behavior) for comparison
+_landed_bwd = pool_mod._mp_bwd
+def _mp_bwd_fp32(kernel, stride, padding, x_shape, x_dtype, idx, dy):
+    return _landed_bwd(kernel, stride, padding, x_shape, x_dtype, idx,
+                       dy.astype(jnp.float32))
+pool_mod._mp_bwd = _mp_bwd_fp32
 pool_mod._make_max_pool.cache_clear()
 mp_g2 = jax.jit(jax.grad(lambda x: pool_mod.max_pool2d(x, 3, 2, 1)
                          .astype(jnp.float32).sum()))
-log(f"pool fwd+bwd bf16-bwd: {timeit(mp_g2, x_pool)*1e3:.2f}ms")
-# correctness: device-side comparison, scalar fetch only
+log(f"pool fwd+bwd fp32-bwd (round 1): {timeit(mp_g2, x_pool)*1e3:.2f}ms")
 diff = jax.jit(lambda x: jnp.abs(mp_g(x).astype(jnp.float32)
                                  - mp_g2(x).astype(jnp.float32)).max())
-log(f"pool bwd bf16 max|diff|: {float(diff(x_pool)):.5f}")
-bench_rn50(256, " bf16-pool-bwd")
-pool_mod._mp_bwd = _orig_bwd
+log(f"pool bwd dtype max|diff|: {float(diff(x_pool)):.5f}")
+pool_mod._mp_bwd = _landed_bwd
 pool_mod._make_max_pool.cache_clear()
+bench_rn50(256, " landed-pool-bwd")
 
 # ---------------- conv formulations ----------------
 def conv_nhwc(x, w, stride=1, pad="SAME"):

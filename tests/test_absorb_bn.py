@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from convnet_tpu import models
 from convnet_tpu.core.module import Context
@@ -53,6 +54,7 @@ def test_absorb_bn_mobilenet():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_absorb_bn_googlenet_and_inception():
     """Fold correctness on multi-branch architectures."""
     for name, cfg, size in [("googlenet", {}, 64),

@@ -9,6 +9,9 @@ import pytest
 from convnet_tpu.cli.main import main, build_parser
 
 
+pytestmark = pytest.mark.slow
+
+
 def _run(tmp_path, *extra):
     return main([
         "--dataset", "synthetic", "--model", "resnet",

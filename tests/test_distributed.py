@@ -12,8 +12,9 @@ from convnet_tpu.parallel.mesh import make_mesh, shard_batch
 from convnet_tpu.regimes.optim import OptimRegime
 from convnet_tpu.train.trainer import Trainer, TrainerConfig
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 fake devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 fake devices")]
 
 
 def _batch(b=16):

@@ -5,6 +5,7 @@ and end-to-end determinism."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from convnet_tpu import models
 from convnet_tpu.core.module import Context
@@ -48,6 +49,7 @@ def test_finite_difference_gradients():
                 leaf_i, idx, fd, an)
 
 
+@pytest.mark.slow
 def test_training_determinism():
     """Identical seeds → bit-identical parameters after training."""
     from convnet_tpu.regimes.optim import OptimRegime

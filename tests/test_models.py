@@ -35,10 +35,12 @@ EXPECTED_PARAMS = {
     ("resnet_se", {"dataset": "cifar10", "depth": 20}, (2, 32, 32, 3), 10),
     ("resnet_zi", {"dataset": "cifar10", "depth": 20}, (2, 32, 32, 3), 10),
     ("mobilenet", {"width": 0.5}, (2, 64, 64, 3), 1000),
-    ("mobilenet_v2", {"width": 1.0}, (2, 64, 64, 3), 1000),
+    pytest.param("mobilenet_v2", {"width": 1.0}, (2, 64, 64, 3), 1000,
+                 marks=pytest.mark.slow),
     ("vgg", {"dataset": "cifar10", "depth": 11}, (2, 32, 32, 3), 10),
     ("mnist", {}, (2, 28, 28, 1), 10),
-    ("densenet", {"depth": 121}, (2, 64, 64, 3), 1000),
+    pytest.param("densenet", {"depth": 121}, (2, 64, 64, 3), 1000,
+                 marks=pytest.mark.slow),
     ("googlenet", {}, (2, 64, 64, 3), 1000),
 ])
 def test_model_forward(name, cfg, in_shape, classes):
@@ -53,6 +55,7 @@ def test_model_forward(name, cfg, in_shape, classes):
     assert ye.shape == (in_shape[0], classes)
 
 
+@pytest.mark.slow
 def test_param_counts_canonical():
     for (name, cfg), expected in EXPECTED_PARAMS.items():
         model = models.build(name, **dict(cfg))
@@ -165,6 +168,7 @@ def test_resnet_s2d_stem_forward():
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_inception_v3():
     m = models.build("inception_v3")
     params, state = m.init(jax.random.PRNGKey(0))

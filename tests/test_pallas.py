@@ -97,6 +97,7 @@ def test_fused_convbn_eval_path_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_mobilenetv2_eval():
     import os
     os.environ["CONVNET_TPU_PALLAS_FUSED"] = "1"
@@ -146,6 +147,7 @@ def test_pallas_depthwise_parity(stride, pad, shape):
         rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_mobilenet_grads_match_xla():
     """MobileNet v1 forward+backward through the pallas depthwise path
     (interpret mode) matches the XLA path. Eval-mode BN: train-mode

@@ -14,8 +14,9 @@ from convnet_tpu.core.module import Context
 from convnet_tpu.parallel.mesh import make_mesh
 from convnet_tpu.parallel import spatial as sp
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 fake devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 fake devices")]
 
 
 def _spatial_mesh(n):

@@ -14,12 +14,16 @@ torch.optim.SGD semantics, not just single-op parity.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
 from convnet_tpu import models
 from convnet_tpu.regimes.optim import OptimRegime
 from convnet_tpu.train.trainer import Trainer, TrainerConfig
+
+pytestmark = pytest.mark.slow
+
 
 LR = 0.05
 MOMENTUM = 0.9

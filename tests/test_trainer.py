@@ -13,6 +13,9 @@ from convnet_tpu.train.trainer import Trainer, TrainerConfig
 from convnet_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
 
 
+pytestmark = pytest.mark.slow
+
+
 def _make(model_cfg=None, lr=None, **cfg_kwargs):
     model = models.build("resnet", dataset="cifar10",
                          **(model_cfg or {"depth": 20}))
