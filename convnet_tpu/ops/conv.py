@@ -15,12 +15,23 @@ kernel (ops/pallas/).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Union
 
 import jax
 from jax import lax
 
 DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+# 1×1/stride-1 convs as reshape+dot (opt-in: CONVNET_TPU_1X1_DOT=1).
+# A pointwise conv IS a matmul over flattened pixels; standalone the
+# dot formulation's filter-gradient beats the conv engine's on v5e
+# (3.90 → 2.49 ms fwd+bwd, 256→64 @56²) but at full-model scale XLA
+# already canonicalizes in-graph 1×1 convs — RN50 measured identical
+# 114.5 ms both ways (scripts/tpu_bench16_results.txt), so the
+# canonical conv path stays default and this remains an escape hatch
+# for backends without that canonicalization.
+_DOT_1X1 = os.environ.get("CONVNET_TPU_1X1_DOT", "0") == "1"
 
 
 def _pair(v) -> tuple:
@@ -59,6 +70,14 @@ def conv2d(
     transpose rule on the axon backend (verified 2026-08-16).
     """
     kh, kw = w.shape[0], w.shape[1]
+    if (_DOT_1X1 and kh == 1 and kw == 1 and groups == 1
+            and _pair(stride) == (1, 1)
+            and _resolve_padding(padding, (1, 1), _pair(dilation))
+            in ("VALID", ((0, 0), (0, 0)))):
+        b, h, wd, c = x.shape
+        y = jax.numpy.matmul(x.reshape(b * h * wd, c),
+                             w.reshape(c, -1).astype(x.dtype))
+        return y.reshape(b, h, wd, -1)
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),

@@ -151,6 +151,91 @@ def _mp_bwd(kernel, stride, padding, x_shape, x_dtype, idx, dy):
 from functools import lru_cache
 
 
+def _axis_max_fwd(xp, axis, k, s, out_len):
+    """1-D max over windows of ``k`` stride ``s`` along ``axis`` of the
+    already-padded input, tracking the winning tap (first-match)."""
+    out = None
+    idx = None
+    for t in range(k):
+        sl = [slice(None)] * xp.ndim
+        sl[axis] = slice(t, t + (out_len - 1) * s + 1, s)
+        patch = xp[tuple(sl)]
+        if out is None:
+            out = patch
+            idx = jnp.zeros(patch.shape, jnp.uint8)
+        else:
+            better = patch > out
+            out = jnp.where(better, patch, out)
+            idx = jnp.where(better, jnp.uint8(t), idx)
+    return out, idx
+
+
+def _axis_max_bwd(axis, k, s, pad, in_len, idx, dy):
+    """Scatter dy back through a 1-D max: residue-class interleave
+    along ``axis`` (same machinery as the 2-D backward, one axis)."""
+    q = (k - 1) // s
+    planes = []
+    for r in range(s):
+        acc = None
+        for t in range(r, k, s):
+            contrib = dy * (idx == jnp.uint8(t)).astype(dy.dtype)
+            shifted = _shift_pad(contrib, axis, t // s, q - t // s)
+            acc = shifted if acc is None else acc + shifted
+        planes.append(acc if acc is not None
+                      else jnp.zeros(_shift_pad(dy, axis, 0, q).shape,
+                                     dy.dtype))
+    return _interleave(planes, s, axis, in_len, pad)
+
+
+@lru_cache(maxsize=None)
+def _make_max_pool_separable(kernel, stride, padding, x_shape, dtype_name):
+    """Separable max pool: max over a k×k window = rowmax(colmax).
+
+    MEASURED SLOWER on v5e (scripts/tpu_bench18_results.txt: fwd 16.3
+    vs 3.3 ms, fwd+bwd 26.4 vs 15.6 at the RN50 stem shape) — XLA
+    fuses the 2-D version's nine strided window reads into one loop
+    with no materialization, while this version materializes the
+    column-stage intermediate in a different geometry and pays real
+    relayouts. Kept gated off (CONVNET_TPU_SEPARABLE_POOL=1) for
+    backends whose window fusion is weaker. Tie-breaking is per-axis
+    first-match (single-winner like torch; flat-order may differ from
+    2-D first-match only on exact ties, common in bf16).
+    """
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    b, h, w, c = x_shape
+    h_out = _out_size(h, kh, sh, ph)
+    w_out = _out_size(w, kw, sw, pw)
+    neg = -jnp.inf
+
+    def _fwd_core(x):
+        xp = jnp.pad(x, ((0, 0), (ph, ph), (0, 0), (0, 0)),
+                     constant_values=neg)
+        colmax, colidx = _axis_max_fwd(xp, 1, kh, sh, h_out)
+        cp = jnp.pad(colmax, ((0, 0), (0, 0), (pw, pw), (0, 0)),
+                     constant_values=neg)
+        out, rowidx = _axis_max_fwd(cp, 2, kw, sw, w_out)
+        return out, colidx, rowidx
+
+    @jax.custom_vjp
+    def mp(x):
+        return _fwd_core(x)[0]
+
+    def fwd(x):
+        out, colidx, rowidx = _fwd_core(x)
+        return out, (colidx, rowidx)
+
+    def bwd(res, dy):
+        colidx, rowidx = res
+        d_colmax = _axis_max_bwd(2, kw, sw, pw, w, rowidx, dy)
+        dx = _axis_max_bwd(1, kh, sh, ph, h, colidx, d_colmax)
+        return (dx,)
+
+    mp.defvjp(fwd, bwd)
+    return mp
+
+
 @lru_cache(maxsize=None)
 def _make_max_pool(kernel, stride, padding, x_shape, dtype_name):
     """custom_vjp specialized per static (config, shape, dtype)."""
@@ -186,7 +271,11 @@ def max_pool2d(x, kernel, stride=None, padding=0, impl="xla"):
             interpret = jax.devices()[0].platform == "cpu"
             return ppool.max_pool2d_pallas(x, kernel, stride, padding,
                                            interpret=interpret)
-    mp = _make_max_pool(kernel, stride, padding, x.shape, str(x.dtype))
+    if os.environ.get("CONVNET_TPU_SEPARABLE_POOL", "0") == "1":
+        mp = _make_max_pool_separable(kernel, stride, padding, x.shape,
+                                      str(x.dtype))
+    else:
+        mp = _make_max_pool(kernel, stride, padding, x.shape, str(x.dtype))
     return mp(x)
 
 

@@ -143,6 +143,23 @@ def test_max_pool_grad():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("k,stride,pad", [(2, 2, 0), (3, 2, 1), (3, 1, 1)])
+def test_separable_max_pool_matches_legacy(k, stride, pad):
+    """The gated separable variant (CONVNET_TPU_SEPARABLE_POOL=1) stays
+    exact vs the default 2-D path, fwd and bwd."""
+    from convnet_tpu.ops import pool as pm
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 9, 9, 4)).astype(np.float32))
+    leg = pm._make_max_pool((k, k), (stride, stride), (pad, pad),
+                            x.shape, "float32")
+    sep = pm._make_max_pool_separable((k, k), (stride, stride), (pad, pad),
+                                      x.shape, "float32")
+    np.testing.assert_allclose(np.asarray(leg(x)), np.asarray(sep(x)))
+    g1 = jax.grad(lambda x_: jnp.sum(leg(x_) ** 2))(x)
+    g2 = jax.grad(lambda x_: jnp.sum(sep(x_) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
 def test_global_avg_pool():
     rng = np.random.default_rng(8)
     x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
