@@ -56,6 +56,32 @@ class SyntheticDataset(ArrayDataset):
         super().__init__(data, labels, classes)
 
 
+class StructuredSyntheticDataset(ArrayDataset):
+    """Learnable synthetic data: each class owns a fixed smooth
+    prototype (low-res random pattern, upsampled); samples are
+    prototype + per-sample noise. Train and val share prototypes but
+    draw different samples, so VALIDATION accuracy measures true
+    generalization through the full pipeline (augmentation, BN
+    statistics, eval path) — the strongest end-to-end signal available
+    in containers with no datasets on disk."""
+
+    def __init__(self, size=1024, image_size=32, channels=3, classes=10,
+                 seed=0, noise=0.35):
+        proto_rng = np.random.default_rng(1234)  # shared across splits
+        cells = max(image_size // 8, 2)
+        low = proto_rng.uniform(0.15, 0.85, (classes, cells, cells, channels))
+        reps = -(-image_size // cells)
+        protos = np.stack([
+            np.kron(l, np.ones((reps, reps, 1)))[:image_size, :image_size]
+            for l in low])
+        rng = np.random.default_rng(seed)
+        labels = rng.integers(0, classes, (size,))
+        imgs = protos[labels] + rng.normal(
+            0, noise, (size, image_size, image_size, channels))
+        data = np.clip(imgs * 255, 0, 255).astype(np.uint8)
+        super().__init__(data, labels, classes)
+
+
 def _load_cifar(root, name="cifar10", split="train"):
     """Parse the standard python-pickled CIFAR batches."""
     if name == "cifar10":
@@ -274,10 +300,13 @@ def get_dataset(name: str, split: str = "train", data_dir: Optional[str] = None,
         defaults = dict(size=1024, image_size=32, channels=3, classes=10)
         if "imagenet" in name:
             defaults = dict(size=2048, image_size=224, channels=3, classes=1000)
-        defaults.update({k: v for k, v in kwargs.items()
-                         if k in ("size", "image_size", "channels", "classes",
-                                  "seed")})
+        keys = ("size", "image_size", "channels", "classes", "seed")
+        if "structured" in name:
+            keys = keys + ("noise",)
+        defaults.update({k: v for k, v in kwargs.items() if k in keys})
         if split != "train":
             defaults["seed"] = defaults.get("seed", 0) + 1
+        if "structured" in name:
+            return StructuredSyntheticDataset(**defaults)
         return SyntheticDataset(**defaults)
     raise ValueError(f"unknown dataset {name!r}")

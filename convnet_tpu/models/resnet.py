@@ -180,6 +180,12 @@ class ResNet_imagenet(ResNet):
                  regime="normal", batch_size=256, epochs=90, block=None,
                  layers=None, stem="conv7"):
         if block is None or layers is None:
+            if depth not in self.DEPTHS:
+                raise ValueError(
+                    f"unknown ImageNet ResNet depth {depth} (have "
+                    f"{sorted(self.DEPTHS)}); CIFAR-style 6n+2 depths "
+                    f"(8, 20, 32, ...) need dataset='cifar10'/'cifar100' "
+                    f"in the model config")
             block, layers = self.DEPTHS[depth]
         width = width or [64, 128, 256, 512]
         if stem == "s2d":

@@ -53,9 +53,19 @@ def save_checkpoint(ckpt: Dict[str, Any], is_best: bool, path: str = ".",
     arrays: Dict[str, np.ndarray] = {}
     meta: Dict[str, Any] = {}
     extended_dtypes: Dict[str, str] = {}
+    def to_host(x):
+        # Multi-host ZeRO: P(data)-sharded moment vectors span hosts,
+        # so device_get would raise on the non-fully-addressable array;
+        # gather the global value first (no-op cost single-host — the
+        # branch never triggers there).
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return jax.device_get(x)
+
     for key, value in ckpt.items():
         if key in ("params", "state", "opt_state"):
-            host = jax.device_get(value)
+            host = jax.tree_util.tree_map(to_host, value)
             arrays.update(flatten_tree(host, f"{key}{_SEP}"))
         else:
             meta[key] = value

@@ -98,6 +98,21 @@ def test_cli_spatial_2d_mesh(tmp_path):
     assert (tmp_path / "sp" / "checkpoint.npz").exists()
 
 
+def test_structured_synthetic_generalization(tmp_path):
+    """VALIDATION accuracy (not memorization) climbs on the structured
+    synthetic dataset — train/val share class prototypes but not
+    samples, so this exercises true generalization through the full
+    pipeline (augmentation, BN stats, eval path) with no datasets on
+    disk."""
+    res = main([
+        "--dataset", "synthetic_structured", "--model", "resnet",
+        "--model-config", "{'depth': 8}",
+        "-b", "64", "--epochs", "5", "--print-freq", "0", "--lr", "0.05",
+        "--results-dir", str(tmp_path), "--save", "st",
+    ])
+    assert res["best_prec1"] > 80.0, res
+
+
 def test_cli_zero1_resume(tmp_path):
     """--shard-opt-state train → resume exercises the CLI's
     placement-preserving optimizer-state restore on the 8-device mesh."""

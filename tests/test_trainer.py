@@ -176,6 +176,21 @@ def test_loss_scale_invariance():
                                        rtol=1e-4, atol=1e-6)
 
 
+def test_fp16_policy_with_loss_scale_trains():
+    """True float16 compute (the reference's --dtype half lineage,
+    fp16 names in core/dtypes.py) with static loss scaling: one step
+    produces finite, nonzero gradients and finite loss."""
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 10, 16).astype(np.int32)
+    model, tr, params, state, opt_state = _make(
+        model_cfg={"depth": 8}, dtype="fp16", loss_scale=1024.0)
+    _, _, _, m = _one_step(tr, params, state, opt_state, x, y)
+    assert np.isfinite(float(m["loss"]))
+    gn = float(m["grad_norm"])
+    assert np.isfinite(gn) and gn > 1e-3
+
+
 def test_loss_scale_bf16_stays_finite():
     """Large static loss scale under the bf16 policy: gradients must
     neither flush to zero nor overflow to inf after the unscale."""
