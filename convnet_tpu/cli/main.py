@@ -69,6 +69,9 @@ def build_parser():
     p.add_argument("--dtype", default="float32",
                    help="compute dtype policy: float32|bf16|half")
     p.add_argument("--loss-scale", type=float, default=1.0)
+    p.add_argument("--model-ema", type=float, default=0.0,
+                   help="EMA decay for averaged weights (e.g. 0.999); "
+                        "validation/checkpointing use the EMA copy")
     p.add_argument("--seed", type=int, default=123)
     # parallelism
     p.add_argument("--num-devices", type=int, default=None,
@@ -81,6 +84,10 @@ def build_parser():
     p.add_argument("--spatial", type=int, default=1,
                    help="spatial-partitioning degree: shard activation "
                         "height over this many devices (2-D mesh)")
+    p.add_argument("--allreduce-dtype", default=None,
+                   choices=["bf16", "fp16"],
+                   help="cast gradients for the all-reduce (halves "
+                        "ICI/DCN bytes; grads are re-cast after)")
     p.add_argument("--dist-init", default=None,
                    help="multi-host coordinator address host:port")
     p.add_argument("--dist-rank", type=int, default=0)
@@ -192,10 +199,15 @@ def main(argv=None):
         grad_clip=args.grad_clip, loss_scale=args.loss_scale,
         chunk_batch=args.chunk_batch, duplicates=args.duplicates,
         adapt_grad_norm=args.adapt_grad_norm, sync_bn=args.sync_bn,
-        shard_opt_state=args.shard_opt_state,
+        shard_opt_state=args.shard_opt_state, model_ema=args.model_ema,
+        allreduce_dtype=args.allreduce_dtype,
         average_output=args.duplicates > 1, print_freq=args.print_freq)
     trainer = Trainer(model, optim, num_classes, cfg, mesh=mesh,
                       seed=args.seed)
+    if args.model_ema > 0:
+        log.info("model EMA enabled (decay %.4g): validation and "
+                 "model_best use the averaged weights (they lag early "
+                 "in training)", args.model_ema)
     if args.tensorwatch:
         trainer.set_watcher(os.path.join(save_path, "watch.jsonl"))
 
@@ -286,7 +298,10 @@ def main(argv=None):
                 log.warning("profiler stop failed: %s", e)
 
         val_data.set_epoch(epoch)
-        val_res = trainer.validate(val_data.get_loader(), params, state)
+        # with --model-ema, validation (and model_best selection) uses
+        # the averaged weights — the copy that would be served
+        eval_params = trainer.ema_params(opt_state) or params
+        val_res = trainer.validate(val_data.get_loader(), eval_params, state)
 
         is_best = val_res["prec1"] > best_prec1
         best_prec1 = max(val_res["prec1"], best_prec1)

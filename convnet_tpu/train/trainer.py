@@ -71,6 +71,8 @@ class TrainerConfig:
     sync_bn: bool = False           # cross-replica BN statistics
     shard_opt_state: bool = False   # ZeRO-1: shard moments over 'data'
     average_output: bool = False    # duplicate-averaged eval (TTA)
+    model_ema: float = 0.0          # EMA decay for averaged weights (0=off)
+    allreduce_dtype: Optional[str] = None  # cast grads for the all-reduce
     print_freq: int = 50
 
 
@@ -87,10 +89,11 @@ class Trainer:
             if mesh is None:
                 self.cfg = dataclasses.replace(self.cfg,
                                                shard_opt_state=False)
-            elif (self.cfg.adapt_grad_norm or "spatial" in
-                  (mesh.axis_names if mesh else ())):
+            elif (self.cfg.adapt_grad_norm or self.cfg.model_ema > 0
+                  or "spatial" in (mesh.axis_names if mesh else ())):
                 raise ValueError("shard_opt_state is incompatible with "
-                                 "adapt_grad_norm and spatial partitioning")
+                                 "adapt_grad_norm, model_ema and spatial "
+                                 "partitioning")
         self.rng = jax.random.PRNGKey(seed)
         self.epoch = 0
         self.training_steps = 0
@@ -251,7 +254,20 @@ class Trainer:
                 from convnet_tpu.parallel.spatial import spatial_grad_reduce
                 grads = spatial_grad_reduce(grads, self.spatial_axis)
             if axis is not None:
-                grads = jax.lax.pmean(grads, axis)
+                if cfg.allreduce_dtype:
+                    # low-precision gradient all-reduce (NCCL-compression
+                    # analog): halves ICI/DCN bytes; each grad is already
+                    # an average of many per-sample terms, so one rounding
+                    # before the mean is benign — opt-in (--allreduce-dtype)
+                    ar_dt = jnp.dtype(
+                        {"bf16": jnp.bfloat16, "half": jnp.bfloat16,
+                         "fp16": jnp.float16}.get(cfg.allreduce_dtype,
+                                                  cfg.allreduce_dtype))
+                    grads = jax.tree_util.tree_map(
+                        lambda g: jax.lax.pmean(
+                            g.astype(ar_dt), axis).astype(g.dtype), grads)
+                else:
+                    grads = jax.lax.pmean(grads, axis)
                 # running BN stats averaged across replicas (per-replica
                 # normalization is preserved — "ghost batch norm")
                 state = jax.lax.pmean(state, axis)
@@ -301,6 +317,14 @@ class Trainer:
 
             grads, gnorm = clip_by_global_norm(grads, hp["grad_clip"])
             params, opt_state = update_fn(params, grads, opt_state, hp)
+            if cfg.model_ema > 0:
+                # Polyak/EMA weight averaging (production serving
+                # staple; beyond the reference). Evaluated/served via
+                # Trainer.ema_params(opt_state).
+                d = cfg.model_ema
+                opt_state = {**opt_state, "ema": jax.tree_util.tree_map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                    opt_state["ema"], params)}
             metrics = {"loss": loss, "correct1": c1, "correct5": c5,
                        "grad_norm": gnorm}
             return params, state, opt_state, metrics
@@ -410,12 +434,21 @@ class Trainer:
         opt_state = self.optim.init_state(params)
         if self.cfg.adapt_grad_norm and self.cfg.duplicates > 1:
             opt_state["agn_scale"] = jnp.float32(1.0)
+        if self.cfg.model_ema > 0:
+            # real copies — params and opt_state are both donated, so
+            # the EMA tree must not alias the param buffers
+            opt_state["ema"] = jax.tree_util.tree_map(
+                lambda p: jnp.array(p, copy=True), params)
         if self.mesh is not None:
             from convnet_tpu.parallel.mesh import replicate
             params = replicate(params, self.mesh)
             state = replicate(state, self.mesh)
             opt_state = replicate(opt_state, self.mesh)
         return params, state, opt_state
+
+    def ema_params(self, opt_state):
+        """The EMA-averaged weights (cfg.model_ema > 0), or None."""
+        return opt_state.get("ema") if isinstance(opt_state, dict) else None
 
     def _hp_device(self, hp: Dict[str, float]):
         return {k: jnp.float32(v) for k, v in hp.items()}

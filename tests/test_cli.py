@@ -81,7 +81,8 @@ def test_parser_covers_reference_flags():
                  "--autoaugment", "--cutout", "--workers", "--print-freq",
                  "--save", "--results-dir", "--save-all", "--loss-scale",
                  "--sync-bn", "--dist-init", "--input-size",
-                 "--momentum", "--weight-decay"]:
+                 "--momentum", "--weight-decay", "--model-ema",
+                 "--allreduce-dtype"]:
         assert flag in opts, flag
 
 

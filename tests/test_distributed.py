@@ -155,6 +155,35 @@ def test_validate_remainder_batch_on_mesh():
     assert res_mesh["loss"] == pytest.approx(res_1["loss"], rel=1e-4)
 
 
+def test_bf16_allreduce_tracks_fp32():
+    """--allreduce-dtype bf16 (half the ICI/DCN gradient bytes) keeps
+    the sharded step close to the fp32-all-reduce step."""
+    x, y = _batch()
+
+    def run(ar):
+        model = models.build("resnet", dataset="cifar10", depth=20)
+        tr = Trainer(model, OptimRegime(model.regime), 10,
+                     TrainerConfig(print_freq=0, sync_bn=True,
+                                   allreduce_dtype=ar),
+                     mesh=make_mesh(8), seed=7)
+        p, s = model.init(jax.random.PRNGKey(0))
+        p, s, o = tr.initialize(p, s)
+        tr.optim.update(0, 0)
+        hp = tr._hp_device(tr.optim.hyperparams())
+        step = tr._get_train_step()
+        bx, by = shard_batch((jnp.asarray(x), jnp.asarray(y)), make_mesh(8))
+        p, s, o, m = step(p, s, o, bx, by, hp, jax.random.PRNGKey(50))
+        return jax.device_get(p), float(m["grad_norm"])
+
+    p_fp32, gn_fp32 = run(None)
+    p_bf16, gn_bf16 = run("bf16")
+    assert gn_bf16 == pytest.approx(gn_fp32, rel=5e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(p_fp32),
+                    jax.tree_util.tree_leaves(p_bf16)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-2, atol=5e-3)
+
+
 def test_zero1_checkpoint_resume_bitwise(tmp_path):
     """Save → restore under --shard-opt-state must (a) keep the moment
     vectors SHARDED (placement-preserving restore, not re-replication)

@@ -176,6 +176,41 @@ def test_loss_scale_invariance():
                                        rtol=1e-4, atol=1e-6)
 
 
+def test_model_ema_tracks_recurrence():
+    """opt_state['ema'] follows e ← d·e + (1−d)·p exactly, starting
+    from the initial params; CLI validation consumes it via
+    Trainer.ema_params."""
+    d = 0.9
+    model, tr, params, state, opt_state = _make(model_cfg={"depth": 8},
+                                                model_ema=d)
+    assert "ema" in opt_state
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 10, 16).astype(np.int32)
+
+    manual = jax.device_get(params)
+    p, s, o = params, state, opt_state
+    tr.optim.update(0, 0)
+    hp = tr._hp_device(tr.optim.hyperparams())
+    step = tr._get_train_step()
+    for i in range(3):
+        p, s, o, _ = step(p, s, o, jnp.asarray(x), jnp.asarray(y), hp,
+                          jax.random.PRNGKey(i))
+        manual = jax.tree_util.tree_map(
+            lambda e, q: e * d + np.asarray(q) * (1 - d), manual,
+            jax.device_get(p))
+    ema = tr.ema_params(o)
+    assert ema is not None
+    for a, b in zip(jax.tree_util.tree_leaves(manual),
+                    jax.tree_util.tree_leaves(jax.device_get(ema))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+    # EMA differs from the live params (it lags) but stays close
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p)),
+                    jax.tree_util.tree_leaves(jax.device_get(ema))):
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+
 def test_fp16_policy_with_loss_scale_trains():
     """True float16 compute (the reference's --dtype half lineage,
     fp16 names in core/dtypes.py) with static loss scaling: one step
