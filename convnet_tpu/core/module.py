@@ -48,6 +48,13 @@ class Context:
         pools halo-exchange over it, BN moments and global pooling
         reduce over it. ``None`` = no spatial sharding.
       impl: kernel implementation: ``"xla"`` or ``"pallas"``.
+      aux: optional collector for auxiliary-classifier logits
+        (GoogLeNet/Inception-v3 training heads — reference
+        models/googlenet.py aux branches). The caller (the Trainer's
+        loss fn) passes an empty list; models with aux heads enabled
+        append ``(weight, logits)`` during the training forward, and
+        the loss adds ``weight * CE(logits, y)`` per entry. ``None``
+        (the default, and always at eval) disables collection.
     """
 
     train: bool = False
@@ -56,6 +63,7 @@ class Context:
     axis_name: Optional[str] = None
     spatial_axis: Optional[str] = None
     impl: str = "xla"
+    aux: Optional[list] = None
 
     def next_rng(self) -> jax.Array:
         """Split off a fresh key (deterministic across retraces/remat)."""

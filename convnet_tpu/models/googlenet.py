@@ -2,14 +2,46 @@
 
 Rebuild of models/googlenet.py:~1–200 (approx., [MED] confidence —
 SURVEY.md §2.2): BN-everywhere Inception-v1, embedded stepped regime.
-Aux classifiers are omitted (BN makes them unnecessary, per BN paper).
+Auxiliary classifiers (Szegedy et al. 2014 §5, 0.3-weighted training
+heads after inception 4a and 4d) are available via
+``aux_classifiers=True``; default off, since with BN everywhere the
+aux gradient injection is unnecessary (per the BN paper) and the
+heads are training-only scaffolding the eval path never uses.
 """
 
 import jax.numpy as jnp
 
 from convnet_tpu.core.module import Module, Sequential, Context
-from convnet_tpu.nn import Linear, MaxPool2d, GlobalAvgPool, Dropout
+from convnet_tpu.nn import Linear, MaxPool2d, GlobalAvgPool, Dropout, ReLU
 from convnet_tpu.models.resnet import ConvBN, weight_decay_config
+
+
+class AuxHead(Module):
+    """Auxiliary classifier head.
+
+    Input-size-robust variant of the paper's head (5×5/3 avg-pool →
+    4×4 flatten): a 1×1 ConvBN bottleneck followed by GLOBAL average
+    pooling, so the head works at any trunk resolution (tests run
+    ImageNet models at 64²) and under spatial sharding (GlobalAvgPool
+    reduces over the spatial mesh axis). The classifier subtree is
+    named ``classifier`` so spatial_grad_reduce treats its gradients
+    as replicated-full, like every other zoo head.
+    """
+
+    def __init__(self, in_ch, num_classes, hidden=1024, dropout=0.7):
+        self.conv = ConvBN(in_ch, 128, 1)
+        self.pool = GlobalAvgPool()
+        self.classifier = Sequential(
+            Linear(128, hidden), ReLU(), Dropout(dropout),
+            Linear(hidden, num_classes),
+            names=["fc1", "relu", "drop", "fc2"])
+
+    def __call__(self, params, state, x, ctx: Context):
+        new_state = dict(state)
+        x, new_state["conv"] = self.conv(params["conv"], state["conv"], x, ctx)
+        x, _ = self.pool({}, {}, x, ctx)
+        x, _ = self.classifier(params["classifier"], {}, x, ctx)
+        return x, new_state
 
 
 class Inception(Module):
@@ -32,7 +64,9 @@ class Inception(Module):
 
 
 class GoogLeNet(Module):
-    def __init__(self, num_classes=1000, dropout=0.4):
+    def __init__(self, num_classes=1000, dropout=0.4,
+                 aux_classifiers=False, aux_weight=0.3):
+        self.aux_weight = aux_weight
         self.stem = Sequential(
             ConvBN(3, 64, 7, 2, 3), MaxPool2d(3, 2, 1),
             ConvBN(64, 64, 1), ConvBN(64, 192, 3, 1, 1), MaxPool2d(3, 2, 1),
@@ -51,6 +85,10 @@ class GoogLeNet(Module):
         self.pool = GlobalAvgPool()
         self.drop = Dropout(dropout)
         self.fc = Linear(1024, num_classes)
+        # training-only aux heads tap the trunk after 4a (512ch) and
+        # 4d (528ch), matching the paper's placement
+        self.aux1 = AuxHead(512, num_classes) if aux_classifiers else None
+        self.aux2 = AuxHead(528, num_classes) if aux_classifiers else None
         self.input_size = 224
         self.regime = [
             {"epoch": 0, "optimizer": "SGD", "lr": 1e-1, "momentum": 0.9,
@@ -67,9 +105,17 @@ class GoogLeNet(Module):
             x, new_state[name] = getattr(self, name)(
                 params[name], state[name], x, ctx)
         x, _ = self.pool3({}, {}, x, ctx)
+        collect_aux = (self.aux1 is not None and ctx.train
+                       and ctx.aux is not None)
         for name in ["i4a", "i4b", "i4c", "i4d", "i4e"]:
             x, new_state[name] = getattr(self, name)(
                 params[name], state[name], x, ctx)
+            if collect_aux and name in ("i4a", "i4d"):
+                head = self.aux1 if name == "i4a" else self.aux2
+                hname = "aux1" if name == "i4a" else "aux2"
+                logits, new_state[hname] = head(
+                    params[hname], state[hname], x, ctx)
+                ctx.aux.append((self.aux_weight, logits))
         x, _ = self.pool4({}, {}, x, ctx)
         for name in ["i5a", "i5b"]:
             x, new_state[name] = getattr(self, name)(

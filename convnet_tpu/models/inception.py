@@ -4,9 +4,11 @@ The reference tree carries ``models/inception*.py`` variants
 ([LOW]-confidence presence, SURVEY.md §2.2 "Other zoo files");
 GoogLeNet (models/googlenet.py here) covers Inception-v1. This file
 adds the v3 architecture (Szegedy et al. 2016) — factorized 7×1/1×7
-convolutions, grid-reduction blocks — to round out the family. Aux
-classifier omitted (as in the BN-era GoogLeNet, aux heads are
-training-era scaffolding; the reference's eval path never uses them).
+convolutions, grid-reduction blocks — to round out the family. The
+auxiliary classifier (tapped after the last 17×17 InceptionC block,
+0.4-weighted per the TF-slim training convention) is available via
+``aux_classifiers=True``; default off — aux heads are training-only
+scaffolding the eval path never uses.
 """
 
 import jax.numpy as jnp
@@ -125,8 +127,33 @@ class InceptionE(_MultiBranch):
         self.out_channels = 320 + 768 + 768 + 192
 
 
+class InceptionAux(Module):
+    """v3 auxiliary head: 1×1 bottleneck → 5×5 ConvBN (SAME, replacing
+    the paper's fixed valid conv on the 5×5 pooled grid so the head
+    works at any trunk resolution) → global pool → linear. The linear
+    subtree is named ``classifier`` for spatial_grad_reduce."""
+
+    def __init__(self, in_ch, num_classes):
+        self.conv0 = ConvBN(in_ch, 128, 1)
+        self.conv1 = ConvBN(128, 768, 5, 1, 2)
+        self.pool = GlobalAvgPool()
+        self.classifier = Linear(768, num_classes)
+
+    def __call__(self, params, state, x, ctx):
+        new_state = dict(state)
+        x, new_state["conv0"] = self.conv0(
+            params["conv0"], state["conv0"], x, ctx)
+        x, new_state["conv1"] = self.conv1(
+            params["conv1"], state["conv1"], x, ctx)
+        x, _ = self.pool({}, {}, x, ctx)
+        x, _ = self.classifier(params["classifier"], {}, x, ctx)
+        return x, new_state
+
+
 class InceptionV3(Module):
-    def __init__(self, num_classes=1000, dropout=0.5):
+    def __init__(self, num_classes=1000, dropout=0.5,
+                 aux_classifiers=False, aux_weight=0.4):
+        self.aux_weight = aux_weight
         self.stem = Sequential(
             ConvBN(3, 32, 3, 2), ConvBN(32, 32, 3), ConvBN(32, 64, 3, 1, 1),
             MaxPool2d(3, 2), ConvBN(64, 80, 1), ConvBN(80, 192, 3),
@@ -143,6 +170,9 @@ class InceptionV3(Module):
         self.pool = GlobalAvgPool()
         self.drop = Dropout(dropout)
         self.fc = Linear(2048, num_classes)
+        # aux head taps the trunk after the last 17×17 block (the
+        # final InceptionC, child "7" of self.blocks)
+        self.aux = InceptionAux(768, num_classes) if aux_classifiers else None
         self.input_size = 299
         self.regime = [
             {"epoch": 0, "optimizer": "SGD", "lr": 0.045, "momentum": 0.9,
@@ -154,8 +184,23 @@ class InceptionV3(Module):
     def __call__(self, params, state, x, ctx: Context):
         new_state = dict(state)
         x, new_state["stem"] = self.stem(params["stem"], state["stem"], x, ctx)
-        x, new_state["blocks"] = self.blocks(params["blocks"],
-                                             state["blocks"], x, ctx)
+        if self.aux is not None and ctx.train and ctx.aux is not None:
+            # run the block stack manually so the aux head can tap the
+            # final 17×17 activation (same math as self.blocks(...))
+            bstate = dict(state["blocks"])
+            for name, layer in self.blocks.layers.items():
+                p, s = self.blocks.sub(params["blocks"], state["blocks"], name)
+                x, s2 = layer(p, s, x, ctx)
+                if s2:
+                    bstate[name] = s2
+                if name == "7":
+                    logits, new_state["aux"] = self.aux(
+                        params["aux"], state["aux"], x, ctx)
+                    ctx.aux.append((self.aux_weight, logits))
+            new_state["blocks"] = bstate
+        else:
+            x, new_state["blocks"] = self.blocks(params["blocks"],
+                                                 state["blocks"], x, ctx)
         x, _ = self.pool({}, {}, x, ctx)
         x, _ = self.drop({}, {}, x, ctx)
         x, _ = self.fc(params["fc"], {}, x, ctx)

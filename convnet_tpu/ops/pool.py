@@ -236,16 +236,48 @@ def _make_max_pool_separable(kernel, stride, padding, x_shape, dtype_name):
     return mp
 
 
+def _needs_fusion_barrier(h_out, w_out):
+    """Axon-backend erratum workaround (see scripts/PERF_NOTES.md
+    "Round 2" and tests/test_ops.py::test_small_pool_conv_chain):
+    a conv → strided-slice-pool → conv chain MISCOMPILES on the axon
+    TPU backend when the pooled output is small (reproduced at out
+    ≤16², clean at ≥24²; deterministic structured NaNs in the top-left
+    3 rows/cols, params-independent, CPU-clean, reduce_window-clean —
+    so it is the backend's fusion of the nine strided slices, not our
+    math). An ``optimization_barrier`` on the pool output breaks the
+    bad fusion; applied only on this backend and only at small sizes
+    (threshold 32 for margin), so the RN50/224 hot path (pool out
+    56²) keeps full fusion and its measured throughput."""
+    if min(h_out, w_out) > 32:
+        return False
+    try:
+        # the axon plugin compiles with the real XLA:TPU toolchain, so
+        # assume any TPU-family backend shares the erratum; CPU/GPU
+        # measured clean (identical graph, no NaNs)
+        return jax.default_backend() not in ("cpu", "gpu")
+    except RuntimeError:  # pragma: no cover - backend not initialized
+        return False
+
+
 @lru_cache(maxsize=None)
 def _make_max_pool(kernel, stride, padding, x_shape, dtype_name):
     """custom_vjp specialized per static (config, shape, dtype)."""
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    h_out = _out_size(x_shape[1], kh, sh, ph)
+    w_out = _out_size(x_shape[2], kw, sw, pw)
+    barrier = _needs_fusion_barrier(h_out, w_out)
 
     @jax.custom_vjp
     def mp(x):
-        return _mp_fwd_argmax(x, kernel, stride, padding)[0]
+        out = _mp_fwd_argmax(x, kernel, stride, padding)[0]
+        return jax.lax.optimization_barrier(out) if barrier else out
 
     def fwd(x):
         out, idx = _mp_fwd_argmax(x, kernel, stride, padding)
+        if barrier:
+            out, idx = jax.lax.optimization_barrier((out, idx))
         return out, idx
 
     def bwd(idx, dy):

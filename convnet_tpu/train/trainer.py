@@ -136,10 +136,16 @@ class Trainer:
         ctx = Context(train=True, rng=rng, policy=self.policy,
                       axis_name=axis_name if self.cfg.sync_bn else None,
                       spatial_axis=self.spatial_axis,
-                      impl=self.cfg.impl)
+                      impl=self.cfg.impl, aux=[])
         logits, new_state = self.model(params, state, x, ctx)
         criterion = CrossEntropyLoss(smooth_eps=self.cfg.label_smoothing)
         loss = criterion(logits, y)
+        # auxiliary classifier heads (GoogLeNet/Inception-v3) append
+        # (weight, aux_logits) to ctx.aux during the training forward;
+        # the deep-supervision losses add in here (reference
+        # models/googlenet.py aux branches). Metrics use main logits.
+        for aux_weight, aux_logits in ctx.aux:
+            loss = loss + aux_weight * criterion(aux_logits, y)
         return loss, (new_state, logits)
 
     def _make_train_step(self, optimizer_name: str):

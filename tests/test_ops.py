@@ -166,3 +166,38 @@ def test_global_avg_pool():
     ours = ops.global_avg_pool(jnp.asarray(nhwc(x)))
     theirs = torch.tensor(x).mean(dim=(2, 3)).numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_small_pool_conv_chain_finite_and_exact():
+    """Axon-backend erratum regression (ops/pool.py
+    _needs_fusion_barrier): conv7x7/2 -> maxpool3/2/1 -> conv3x3 in ONE
+    jit produced structured NaNs on the axon TPU backend when the
+    pooled output is small (<=16x16; 224-input RN50 shapes were clean).
+    On CPU this asserts exactness of the barrier'd path vs torch; on a
+    TPU backend it also exercises the miscompiling fusion itself."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+    w7 = (rng.standard_normal((7, 7, 3, 16)) * 0.05).astype(np.float32)
+    w3 = (rng.standard_normal((3, 3, 16, 24)) * 0.05).astype(np.float32)
+
+    @jax.jit
+    def chain(x, w7, w3):
+        h = jax.lax.conv_general_dilated(
+            x, w7, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = ops.max_pool2d(h, 3, 2, 1)
+        return jax.lax.conv_general_dilated(
+            h, w3, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    out = np.asarray(chain(jnp.asarray(x), jnp.asarray(w7), jnp.asarray(w3)))
+    assert np.isfinite(out).all()
+
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    ht = F.conv2d(xt, torch.tensor(np.transpose(w7, (3, 2, 0, 1))),
+                  stride=2, padding=3)
+    ht = F.max_pool2d(ht, 3, 2, 1)
+    yt = F.conv2d(ht, torch.tensor(np.transpose(w3, (3, 2, 0, 1))),
+                  stride=1, padding=1).numpy()
+    np.testing.assert_allclose(np.transpose(out, (0, 3, 1, 2)), yt,
+                               rtol=1e-4, atol=1e-4)
