@@ -79,6 +79,50 @@ def _mp_fwd_argmax(x, kernel, stride, padding):
     return out, idx
 
 
+def _mp_fwd_reduce_window(x, kernel, stride, padding):
+    """Max-pool forward via ``lax.reduce_window`` — the clean lowering
+    on the axon TPU backend (the strided-slice formulation above
+    MISCOMPILES there when fused between convs; see
+    _erratum_class / scripts/PERF_NOTES.md session 22). Used as
+    the custom_vjp primal so eval/inference graphs contain no window
+    slices at all; reduce_window's own (slow/unsupported) VJP is never
+    taken — the custom backward below replaces it."""
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max, (1, kh, kw, 1), (1, sh, sw, 1),
+        [(0, 0), (ph, ph), (pw, pw), (0, 0)])
+
+
+def _mp_idx_from_out(x, out, kernel, stride, padding):
+    """Winning-tap index recovered by comparing each window tap to the
+    max: iterate taps in REVERSE so the final write is the first
+    matching tap (same first-match tie-breaking as _mp_fwd_argmax /
+    torch)."""
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    b, h, w, c = x.shape
+    h_out = _out_size(h, kh, sh, ph)
+    w_out = _out_size(w, kw, sw, pw)
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+                 constant_values=neg)
+    idx = jnp.zeros(out.shape, jnp.uint8)
+    for t in range(kh * kw - 1, -1, -1):
+        di, dj = divmod(t, kw)
+        patch = jax.lax.slice(
+            xp, (0, di, dj, 0),
+            (b, di + (h_out - 1) * sh + 1, dj + (w_out - 1) * sw + 1, c),
+            (1, sh, sw, 1))
+        idx = jnp.where(patch == out, jnp.uint8(t), idx)
+    return idx
+
+
 def _interleave(planes, period, axis, target_len, crop_lo):
     """Given ``period`` per-residue planes (same shape), interleave along
     ``axis`` so plane r element b lands at coordinate period*b + r, then
@@ -236,48 +280,57 @@ def _make_max_pool_separable(kernel, stride, padding, x_shape, dtype_name):
     return mp
 
 
-def _needs_fusion_barrier(h_out, w_out):
-    """Axon-backend erratum workaround (see scripts/PERF_NOTES.md
-    "Round 2" and tests/test_ops.py::test_small_pool_conv_chain):
-    a conv → strided-slice-pool → conv chain MISCOMPILES on the axon
-    TPU backend when the pooled output is small (reproduced at out
-    ≤16², clean at ≥24²; deterministic structured NaNs in the top-left
-    3 rows/cols, params-independent, CPU-clean, reduce_window-clean —
-    so it is the backend's fusion of the nine strided slices, not our
-    math). An ``optimization_barrier`` on the pool output breaks the
-    bad fusion; applied only on this backend and only at small sizes
-    (threshold 32 for margin), so the RN50/224 hot path (pool out
-    56²) keeps full fusion and its measured throughput."""
-    if min(h_out, w_out) > 32:
-        return False
-    try:
-        # the axon plugin compiles with the real XLA:TPU toolchain, so
-        # assume any TPU-family backend shares the erratum; CPU/GPU
-        # measured clean (identical graph, no NaNs)
-        return jax.default_backend() not in ("cpu", "gpu")
-    except RuntimeError:  # pragma: no cover - backend not initialized
-        return False
+def _erratum_class(stride, padding):
+    """Axon slice-fusion erratum classifier (scripts/PERF_NOTES.md
+    session 22): the strided-slice max-pool formulation MISCOMPILES on
+    the axon TPU backend when fused between convs (deterministic
+    structured NaNs in the top-left rows/cols, params-independent,
+    CPU-clean). Measured trigger: pool stride>1 AND pad>0; the NaN'ing
+    size depends on dtype/fusion context (fp32 isolated chains bad at
+    out ≤32², bf16 GoogLeNet stem bad at 56²), so no size threshold is
+    safe — every strided+padded pool uses the reduce_window-primal
+    formulation. Stride-1 and pad-0 pools (inception branch pools,
+    AlexNet/VGG/MNIST) measured clean at every size and keep the
+    single-chain argmax formulation, which shares the max chain
+    between activation and tap index (~20% faster GoogLeNet step).
+    CONVNET_TPU_POOL_SAFE=1 forces the safe formulation everywhere."""
+    if os.environ.get("CONVNET_TPU_POOL_SAFE") == "1":
+        return True
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    return max(sh, sw) > 1 and max(ph, pw) > 0
 
 
 @lru_cache(maxsize=None)
 def _make_max_pool(kernel, stride, padding, x_shape, dtype_name):
-    """custom_vjp specialized per static (config, shape, dtype)."""
-    kh, kw = _pair(kernel)
-    sh, sw = _pair(stride)
-    ph, pw = _pair(padding)
-    h_out = _out_size(x_shape[1], kh, sh, ph)
-    w_out = _out_size(x_shape[2], kw, sw, pw)
-    barrier = _needs_fusion_barrier(h_out, w_out)
+    """custom_vjp specialized per static (config, shape, dtype).
+
+    Two forward formulations, selected by ``_erratum_class``:
+    - erratum class (stride>1 and pad>0): primal is pure
+      ``reduce_window`` (no window slices — immune to the axon
+      slice-fusion miscompile, fully fusable); the VJP fwd adds the
+      winning-tap index recovered by compare-to-max. The convs consume
+      only the reduce_window result; the slice chain feeds nothing but
+      the u8 index for the custom backward — gradient parity vs CPU
+      verified on-chip at the erratum shapes (PERF_NOTES session 22).
+    - otherwise: single argmax slice chain shared between activation
+      and index (measured clean at every size for stride-1 and pad-0
+      pools, and faster — the max chain is computed once).
+    Backward: scatter-free residue interleave either way."""
+    safe = _erratum_class(stride, padding)
 
     @jax.custom_vjp
     def mp(x):
-        out = _mp_fwd_argmax(x, kernel, stride, padding)[0]
-        return jax.lax.optimization_barrier(out) if barrier else out
+        if safe:
+            return _mp_fwd_reduce_window(x, kernel, stride, padding)
+        return _mp_fwd_argmax(x, kernel, stride, padding)[0]
 
     def fwd(x):
-        out, idx = _mp_fwd_argmax(x, kernel, stride, padding)
-        if barrier:
-            out, idx = jax.lax.optimization_barrier((out, idx))
+        if safe:
+            out = _mp_fwd_reduce_window(x, kernel, stride, padding)
+            idx = _mp_idx_from_out(x, out, kernel, stride, padding)
+        else:
+            out, idx = _mp_fwd_argmax(x, kernel, stride, padding)
         return out, idx
 
     def bwd(idx, dy):

@@ -169,12 +169,13 @@ def test_global_avg_pool():
 
 
 def test_small_pool_conv_chain_finite_and_exact():
-    """Axon-backend erratum regression (ops/pool.py
-    _needs_fusion_barrier): conv7x7/2 -> maxpool3/2/1 -> conv3x3 in ONE
-    jit produced structured NaNs on the axon TPU backend when the
-    pooled output is small (<=16x16; 224-input RN50 shapes were clean).
-    On CPU this asserts exactness of the barrier'd path vs torch; on a
-    TPU backend it also exercises the miscompiling fusion itself."""
+    """Axon-backend erratum regression (ops/pool.py _erratum_class):
+    conv7x7/2 -> maxpool3/2/1 -> conv3x3 in ONE jit produced structured
+    NaNs on the axon TPU backend when the strided-slice pool forward is
+    fused between convs. Strided+padded pools now lower the primal via
+    reduce_window; on CPU this asserts exactness of that path vs torch,
+    on a TPU backend it also exercises the previously-miscompiling
+    fusion context itself."""
     rng = np.random.default_rng(3)
     x = rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
     w7 = (rng.standard_normal((7, 7, 3, 16)) * 0.05).astype(np.float32)
