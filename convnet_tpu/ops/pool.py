@@ -192,6 +192,85 @@ def _mp_bwd(kernel, stride, padding, x_shape, x_dtype, idx, dy):
     return dx.astype(x_dtype)
 
 
+def _mp_bwd_padsum(kernel, stride, padding, x_shape, x_dtype, idx, dy):
+    """Max-pool backward, residue-class pad-sum formulation.
+
+    For input coordinate i = s*a + r (residue r), the windows covering
+    it are oi = a + u for each tap di with di ≡ (r+p) (mod s),
+    u = (r + p - di)/s — so each residue class (rr, rc) of dx is a sum
+    of ≤⌈k/s⌉² *shifted* masked-dy planes at the OUTPUT resolution, and
+    dx itself is assembled by placing each class at its strided
+    positions via ``lax.pad`` interior (dilation) padding.
+
+    Unlike the stack+reshape interleave (``_mp_bwd_interleave``), this
+    graph is only slices, pads, selects and adds — no dimension-merging
+    reshapes, which lower to sublane shuffles on TPU and dominate that
+    formulation's cost (scripts/PERF_NOTES.md session 23b: 15.8 →
+    measured vs this). XLA fuses pads into the consuming add loop.
+    """
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    b, h, w, c = x_shape
+
+    def _shift2(m, du, dv, n_h, n_w):
+        """out[a, b] = m[a + du, b + dv] over a ∈ [0, n_h), b ∈ [0, n_w)
+        with zero fill for out-of-range reads (du/dv may be negative)."""
+        pad = [(0, 0)] * 4
+        start = [0, 0, 0, 0]
+        for axis, (d, n) in (((1, (du, n_h))), (2, (dv, n_w))):
+            lo = max(0, -d)
+            hi = max(0, n + d - m.shape[axis])
+            pad[axis] = (lo, hi)
+            start[axis] = d + lo
+        mp_ = jnp.pad(m, pad)
+        return jax.lax.slice(
+            mp_, start, [start[0] + m.shape[0], start[1] + n_h,
+                         start[2] + n_w, start[3] + m.shape[3]])
+
+    dx = None
+    zero = jnp.zeros((), dy.dtype)
+    for rr in range(sh):
+        # unpadded row i = sh*a + rr receives tap di at oi = a + du
+        rtaps = [(di, (rr + ph - di) // sh) for di in range(kh)
+                 if (rr + ph - di) % sh == 0]
+        n_h = (h - rr + sh - 1) // sh  # number of rows in this class
+        if n_h <= 0 or not rtaps:
+            continue
+        for rc in range(sw):
+            ctaps = [(dj, (rc + pw - dj) // sw) for dj in range(kw)
+                     if (rc + pw - dj) % sw == 0]
+            n_w = (w - rc + sw - 1) // sw
+            if n_w <= 0 or not ctaps:
+                continue
+            plane = None
+            for di, du in rtaps:
+                for dj, dv in ctaps:
+                    t = di * kw + dj
+                    m = dy * (idx == jnp.uint8(t)).astype(dy.dtype)
+                    m = _shift2(m, du, dv, n_h, n_w)
+                    plane = m if plane is None else plane + m
+            # place plane element (a, b) at (sh*a + rr, sw*b + rc)
+            hi_h = h - rr - ((n_h - 1) * sh + 1)
+            hi_w = w - rc - ((n_w - 1) * sw + 1)
+            placed = jax.lax.pad(plane, zero, [
+                (0, 0, 0), (rr, hi_h, sh - 1), (rc, hi_w, sw - 1),
+                (0, 0, 0)])
+            dx = placed if dx is None else dx + placed
+    return dx.astype(x_dtype)
+
+
+_mp_bwd_interleave = _mp_bwd
+
+
+def _select_mp_bwd():
+    """Backward formulation switch (measure-driven default; see
+    scripts/PERF_NOTES.md session 23b)."""
+    if os.environ.get("CONVNET_TPU_POOL_BWD") == "interleave":
+        return _mp_bwd_interleave
+    return _mp_bwd_padsum
+
+
 from functools import lru_cache
 
 
@@ -333,9 +412,11 @@ def _make_max_pool(kernel, stride, padding, x_shape, dtype_name):
             out, idx = _mp_fwd_argmax(x, kernel, stride, padding)
         return out, idx
 
+    bwd_impl = _select_mp_bwd()
+
     def bwd(idx, dy):
-        return (_mp_bwd(kernel, stride, padding, x_shape, dtype_name,
-                        idx, dy),)
+        return (bwd_impl(kernel, stride, padding, x_shape, dtype_name,
+                         idx, dy),)
 
     mp.defvjp(fwd, bwd)
     return mp

@@ -143,6 +143,46 @@ def test_max_pool_grad():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("k,stride,pad", [
+    (2, 2, 0), (3, 2, 1), (3, 1, 1), (3, 3, 1), (2, 1, 0), (5, 3, 2),
+    (3, 2, 0)])
+@pytest.mark.parametrize("hw", [(9, 9), (8, 12), (7, 7)])
+def test_max_pool_bwd_formulations_exact(k, stride, pad, hw):
+    """The pad-sum backward (default) and the interleave backward are
+    bit-exact vs each other and vs torch's routing, over irregular
+    sizes and configs (odd/even residue classes, taps out of range)."""
+    from convnet_tpu.ops import pool as pm
+    rng = np.random.default_rng(11)
+    h, w = hw
+    x = rng.standard_normal((2, 3, h, w)).astype(np.float32)
+    xj = jnp.asarray(nhwc(x))
+
+    def run(bwd):
+        mpfn = pm._make_max_pool.__wrapped__((k, k), (stride, stride),
+                                             (pad, pad), xj.shape,
+                                             "float32")
+        # rebuild with the chosen backward by monkeypatching selection
+        return jax.grad(lambda x_: jnp.sum(mpfn(x_) ** 2))(xj)
+
+    old = pm._select_mp_bwd
+    try:
+        pm._select_mp_bwd = lambda: pm._mp_bwd_padsum
+        g_pad = np.asarray(run(pm._mp_bwd_padsum))
+        pm._select_mp_bwd = lambda: pm._mp_bwd_interleave
+        g_int = np.asarray(run(pm._mp_bwd_interleave))
+    finally:
+        pm._select_mp_bwd = old
+    # contributions are identical term-sets; only the add order differs
+    # between formulations (visible at 1e-7 when k > stride)
+    np.testing.assert_allclose(g_pad, g_int, rtol=1e-6, atol=1e-6)
+
+    xt = torch.tensor(x, requires_grad=True)
+    y = F.max_pool2d(xt, k, stride, pad)
+    (y ** 2).sum().backward()
+    np.testing.assert_allclose(nchw(g_pad), xt.grad.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("k,stride,pad", [(2, 2, 0), (3, 2, 1), (3, 1, 1)])
 def test_separable_max_pool_matches_legacy(k, stride, pad):
     """The gated separable variant (CONVNET_TPU_SEPARABLE_POOL=1) stays
