@@ -263,10 +263,23 @@ def _mp_bwd_padsum(kernel, stride, padding, x_shape, x_dtype, idx, dy):
 _mp_bwd_interleave = _mp_bwd
 
 
-def _select_mp_bwd():
-    """Backward formulation switch (measure-driven default; see
-    scripts/PERF_NOTES.md session 23b)."""
-    if os.environ.get("CONVNET_TPU_POOL_BWD") == "interleave":
+def _select_mp_bwd(kernel, stride):
+    """Backward formulation switch, measure-driven per pool config
+    (scripts/PERF_NOTES.md sessions 23c/24): overlapping windows
+    (k > s) take the pad-sum residue-class formulation (3/2/1 stem
+    pools: 16.6 → 13.9 ms, GoogLeNet step +11%); non-overlapping
+    pools (k == s, e.g. VGG's 2/2/0) keep the interleave — their
+    scatter is a pure parity reshape, and pad-sum's dilated
+    placements measured 13% slower on the VGG-16 step.
+    CONVNET_TPU_POOL_BWD={padsum,interleave} forces one everywhere."""
+    forced = os.environ.get("CONVNET_TPU_POOL_BWD")
+    if forced == "interleave":
+        return _mp_bwd_interleave
+    if forced == "padsum":
+        return _mp_bwd_padsum
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    if kh <= sh and kw <= sw:
         return _mp_bwd_interleave
     return _mp_bwd_padsum
 
@@ -412,7 +425,7 @@ def _make_max_pool(kernel, stride, padding, x_shape, dtype_name):
             out, idx = _mp_fwd_argmax(x, kernel, stride, padding)
         return out, idx
 
-    bwd_impl = _select_mp_bwd()
+    bwd_impl = _select_mp_bwd(kernel, stride)
 
     def bwd(idx, dy):
         return (bwd_impl(kernel, stride, padding, x_shape, dtype_name,

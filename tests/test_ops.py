@@ -166,9 +166,9 @@ def test_max_pool_bwd_formulations_exact(k, stride, pad, hw):
 
     old = pm._select_mp_bwd
     try:
-        pm._select_mp_bwd = lambda: pm._mp_bwd_padsum
+        pm._select_mp_bwd = lambda *a: pm._mp_bwd_padsum
         g_pad = np.asarray(run(pm._mp_bwd_padsum))
-        pm._select_mp_bwd = lambda: pm._mp_bwd_interleave
+        pm._select_mp_bwd = lambda *a: pm._mp_bwd_interleave
         g_int = np.asarray(run(pm._mp_bwd_interleave))
     finally:
         pm._select_mp_bwd = old
