@@ -229,7 +229,6 @@ def _mp_bwd_padsum(kernel, stride, padding, x_shape, x_dtype, idx, dy):
                          start[2] + n_w, start[3] + m.shape[3]])
 
     dx = None
-    zero = jnp.zeros((), dy.dtype)
     for rr in range(sh):
         # unpadded row i = sh*a + rr receives tap di at oi = a + du
         rtaps = [(di, (rr + ph - di) // sh) for di in range(kh)
@@ -250,13 +249,16 @@ def _mp_bwd_padsum(kernel, stride, padding, x_shape, x_dtype, idx, dy):
                     m = dy * (idx == jnp.uint8(t)).astype(dy.dtype)
                     m = _shift2(m, du, dv, n_h, n_w)
                     plane = m if plane is None else plane + m
-            # place plane element (a, b) at (sh*a + rr, sw*b + rc)
-            hi_h = h - rr - ((n_h - 1) * sh + 1)
-            hi_w = w - rc - ((n_w - 1) * sw + 1)
-            placed = jax.lax.pad(plane, zero, [
-                (0, 0, 0), (rr, hi_h, sh - 1), (rc, hi_w, sw - 1),
-                (0, 0, 0)])
-            dx = placed if dx is None else dx + placed
+            # place plane element (a, b) at (sh*a + rr, sw*b + rc):
+            # strided .at[].set measured 2x faster than interior-pad
+            # placement on this backend (scripts/tpu_bench25_results:
+            # 4.66 vs 9.81 ms at the RN50 stem shape); residue classes
+            # are disjoint so plain .set is exact.
+            if dx is None:
+                dx = jnp.zeros((b, h, w, c), dy.dtype)
+            dx = dx.at[:, rr::sh, rc::sw, :].set(plane)
+    if dx is None:
+        dx = jnp.zeros((b, h, w, c), dy.dtype)
     return dx.astype(x_dtype)
 
 
@@ -264,22 +266,15 @@ _mp_bwd_interleave = _mp_bwd
 
 
 def _select_mp_bwd(kernel, stride):
-    """Backward formulation switch, measure-driven per pool config
-    (scripts/PERF_NOTES.md sessions 23c/24): overlapping windows
-    (k > s) take the pad-sum residue-class formulation (3/2/1 stem
-    pools: 16.6 → 13.9 ms, GoogLeNet step +11%); non-overlapping
-    pools (k == s, e.g. VGG's 2/2/0) keep the interleave — their
-    scatter is a pure parity reshape, and pad-sum's dilated
-    placements measured 13% slower on the VGG-16 step.
-    CONVNET_TPU_POOL_BWD={padsum,interleave} forces one everywhere."""
-    forced = os.environ.get("CONVNET_TPU_POOL_BWD")
-    if forced == "interleave":
-        return _mp_bwd_interleave
-    if forced == "padsum":
-        return _mp_bwd_padsum
-    kh, kw = _pair(kernel)
-    sh, sw = _pair(stride)
-    if kh <= sh and kw <= sw:
+    """Backward formulation switch (scripts/PERF_NOTES.md sessions
+    23c-25): the pad-sum residue-class formulation with strided
+    ``.at[].set`` placement wins at every measured config — RN50 stem
+    3/2/1 standalone 12.5 → 7.4 ms (step +5%), GoogLeNet step +14%,
+    and VGG's non-overlapping 2/2/0 pools 1115 → 1156 img/s (the
+    earlier interior-pad placement lost there; strided-set does not).
+    The interleave formulation is kept for A/B under
+    CONVNET_TPU_POOL_BWD=interleave."""
+    if os.environ.get("CONVNET_TPU_POOL_BWD") == "interleave":
         return _mp_bwd_interleave
     return _mp_bwd_padsum
 
