@@ -453,8 +453,24 @@ def max_pool2d(x, kernel, stride=None, padding=0, impl="xla"):
     return mp(x)
 
 
-def avg_pool2d(x, kernel, stride=None, padding=0, count_include_pad=True):
-    stride = stride if stride is not None else kernel
+def _ap_counts(kernel, stride, padding, x_shape):
+    """Static per-output-position valid-tap counts (numpy, trace-time)."""
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    ones = np.ones((1,) + tuple(x_shape[1:3]) + (1,), np.float32)
+    padded = np.pad(ones, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    h_out = _out_size(x_shape[1], kh, sh, ph)
+    w_out = _out_size(x_shape[2], kw, sw, pw)
+    counts = None
+    for i in range(kh):
+        for j in range(kw):
+            sl = padded[:, i:i + h_out * sh:sh, j:j + w_out * sw:sw, :]
+            counts = sl if counts is None else counts + sl
+    return counts
+
+
+def _ap_fwd(x, kernel, stride, padding, count_include_pad):
     kh, kw = _pair(kernel)
     acc = None
     for patch in _patches(x, kernel, stride, padding, 0):
@@ -463,20 +479,95 @@ def avg_pool2d(x, kernel, stride=None, padding=0, count_include_pad=True):
     if count_include_pad or _pair(padding) == (0, 0):
         out = acc / (kh * kw)
     else:
-        # per-position valid counts are shape-static: fold them at trace
-        ones = np.ones((1,) + x.shape[1:3] + (1,), np.float32)
-        counts = None
-        ph, pw = _pair(padding)
-        padded = np.pad(ones, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-        sh, sw = _pair(stride)
-        h_out = _out_size(x.shape[1], kh, sh, ph)
-        w_out = _out_size(x.shape[2], kw, sw, pw)
-        for i in range(kh):
-            for j in range(kw):
-                sl = padded[:, i:i + h_out * sh:sh, j:j + w_out * sw:sw, :]
-                counts = sl if counts is None else counts + sl
-        out = acc / jnp.asarray(counts)
+        out = acc / jnp.asarray(_ap_counts(kernel, stride, padding, x.shape))
     return out.astype(x.dtype)
+
+
+def _ap_bwd_padsum(kernel, stride, padding, x_shape, x_dtype,
+                   count_include_pad, dy):
+    """Average-pool backward, residue-class pad-sum with strided-set
+    placement (same scheme as ``_mp_bwd_padsum``, uniform routing
+    instead of argmax masks). XLA's autodiff of the patch-decomposed
+    forward generates a pad-scatter per tap that measured 10-20x off
+    bandwidth speed-of-light on this backend (scripts/PERF_NOTES.md
+    session 26: 5.74 ms at DenseNet's 28²×256 transition)."""
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    b, h, w, c = x_shape
+    if count_include_pad or (ph, pw) == (0, 0):
+        dys = dy / np.float32(kh * kw)
+    else:
+        dys = dy / jnp.asarray(_ap_counts(kernel, stride, padding, x_shape),
+                               dy.dtype)
+    dys = dys.astype(dy.dtype)
+
+    def _shift2(m, du, dv, n_h, n_w):
+        pad = [(0, 0)] * 4
+        start = [0, 0, 0, 0]
+        for axis, (d, n) in (((1, (du, n_h))), (2, (dv, n_w))):
+            lo = max(0, -d)
+            hi = max(0, n + d - m.shape[axis])
+            pad[axis] = (lo, hi)
+            start[axis] = d + lo
+        mp_ = jnp.pad(m, pad)
+        return jax.lax.slice(
+            mp_, start, [start[0] + m.shape[0], start[1] + n_h,
+                         start[2] + n_w, start[3] + m.shape[3]])
+
+    dx = None
+    for rr in range(sh):
+        rtaps = [(rr + ph - di) // sh for di in range(kh)
+                 if (rr + ph - di) % sh == 0]
+        n_h = (h - rr + sh - 1) // sh
+        if n_h <= 0 or not rtaps:
+            continue
+        for rc in range(sw):
+            ctaps = [(rc + pw - dj) // sw for dj in range(kw)
+                     if (rc + pw - dj) % sw == 0]
+            n_w = (w - rc + sw - 1) // sw
+            if n_w <= 0 or not ctaps:
+                continue
+            plane = None
+            for du in rtaps:
+                for dv in ctaps:
+                    m = _shift2(dys, du, dv, n_h, n_w)
+                    plane = m if plane is None else plane + m
+            if dx is None:
+                dx = jnp.zeros((b, h, w, c), dy.dtype)
+            dx = dx.at[:, rr::sh, rc::sw, :].set(plane)
+    if dx is None:
+        dx = jnp.zeros((b, h, w, c), dy.dtype)
+    return dx.astype(x_dtype)
+
+
+@lru_cache(maxsize=None)
+def _make_avg_pool(kernel, stride, padding, count_include_pad, x_shape,
+                   dtype_name):
+    """custom_vjp avg pool specialized per static (config, shape,
+    dtype); forward unchanged (patch-decomposed, fp32 accumulation),
+    backward via pad-sum instead of XLA's per-tap pad-scatter."""
+
+    @jax.custom_vjp
+    def ap(x):
+        return _ap_fwd(x, kernel, stride, padding, count_include_pad)
+
+    def fwd(x):
+        return _ap_fwd(x, kernel, stride, padding, count_include_pad), None
+
+    def bwd(_, dy):
+        return (_ap_bwd_padsum(kernel, stride, padding, x_shape,
+                               dtype_name, count_include_pad, dy),)
+
+    ap.defvjp(fwd, bwd)
+    return ap
+
+
+def avg_pool2d(x, kernel, stride=None, padding=0, count_include_pad=True):
+    stride = stride if stride is not None else kernel
+    ap = _make_avg_pool(_pair(kernel), _pair(stride), _pair(padding),
+                        bool(count_include_pad), x.shape, str(x.dtype))
+    return ap(x)
 
 
 def global_avg_pool(x, keepdims=False):

@@ -131,6 +131,26 @@ def test_avg_pool_parity(k, stride, pad):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("k,stride,pad,icp", [
+    (2, 2, 0, True), (3, 2, 1, True), (3, 1, 1, True), (3, 2, 1, False),
+    (3, 1, 1, False), (2, 1, 0, True), (5, 3, 2, True)])
+@pytest.mark.parametrize("hw", [(8, 8), (9, 7)])
+def test_avg_pool_grad(k, stride, pad, icp, hw):
+    """Custom pad-sum avg-pool VJP vs torch, incl. count_include_pad
+    variants and odd sizes (residue classes with missing taps)."""
+    rng = np.random.default_rng(9)
+    h, w = hw
+    x = rng.standard_normal((2, 3, h, w)).astype(np.float32)
+    g = jax.grad(lambda x_: jnp.sum(ops.avg_pool2d(
+        x_, k, stride, pad, count_include_pad=icp) ** 2))(
+            jnp.asarray(nhwc(x)))
+    xt = torch.tensor(x, requires_grad=True)
+    y = F.avg_pool2d(xt, k, stride, pad, count_include_pad=icp)
+    (y ** 2).sum().backward()
+    np.testing.assert_allclose(nchw(np.asarray(g)), xt.grad.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_max_pool_grad():
     rng = np.random.default_rng(7)
     x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
