@@ -101,6 +101,10 @@ def build_parser():
     p.add_argument("--resume", default="", help="checkpoint path to resume")
     p.add_argument("--evaluate", default="",
                    help="evaluate checkpoint path and exit")
+    p.add_argument("--import-torch", default="", metavar="PATH",
+                   help="initialize weights from a PyTorch reference "
+                        "checkpoint (.pth/.pth.tar state_dict; layouts "
+                        "converted automatically)")
     p.add_argument("--calibrate-bn", action="store_true")
     p.add_argument("--absorb-bn", action="store_true",
                    help="fold BN into convs before evaluation")
@@ -218,6 +222,15 @@ def main(argv=None):
     start_epoch = args.start_epoch
     training_steps = 0
     ckpt = None
+    if args.import_torch:
+        from convnet_tpu.utils.torch_import import load_torch_checkpoint
+        # leaf dtypes are preserved by the importer, so the policy's
+        # param placement from model.init carries over unchanged
+        params, state, meta = load_torch_checkpoint(
+            args.import_torch, model, params, state)
+        log.info("imported torch checkpoint '%s' (epoch %s, best_prec1 %s)",
+                 args.import_torch, meta.get("epoch"),
+                 meta.get("best_prec1"))
     if args.resume or args.evaluate:
         ckpt_path = args.resume or args.evaluate
         ckpt = load_checkpoint(ckpt_path)

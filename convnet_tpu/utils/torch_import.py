@@ -1,0 +1,260 @@
+"""Import PyTorch reference checkpoints into convnet_tpu pytrees.
+
+Replaces the reference's resume/evaluate user journey
+(``torch.load(path); model.load_state_dict(ckpt['state_dict'])``,
+main.py:~260-290 approx.) for users switching to this framework: a
+checkpoint trained with eladhoffer/convNet.pytorch can be loaded into
+the equivalent convnet_tpu model and evaluated/fine-tuned/served.
+
+Pairing strategy (no torch module names are assumed):
+
+1. Walk our ``Module`` tree in definition order and collect the
+   *parameterized units* — Conv2d, Linear, BatchNorm2d — each with the
+   key-path into our (params, state) pytrees.
+2. Group the torch ``state_dict`` (registration order) into the same
+   unit kinds: a 4-D ``*.weight`` is a conv (+ optional 1-D sibling
+   bias), a 2-D ``*.weight`` a linear, a 1-D ``*.weight`` with
+   ``running_mean``/``running_var`` siblings a BN
+   (``num_batches_tracked`` is ignored).
+3. Pair the two unit sequences in order. On a kind mismatch, look
+   ahead a small window on the torch side (modules are sometimes
+   *registered* at a different point than they are *executed*, e.g. a
+   residual downsample) and take the first kind- and shape-compatible
+   unit.
+4. Verify every shape after layout conversion — conv OIHW→HWIO,
+   linear [out,in]→[in,out] — and fail loudly with both names on any
+   mismatch or leftover units.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from convnet_tpu.nn.layers import BatchNorm2d, Conv2d, Linear
+
+
+# ----------------------------------------------------------------- ours
+
+
+def _child_params(tree, name):
+    """Fetch a child's subtree, tolerating dotted composite names
+    (list/dict attributes yield ``attr.key`` child names)."""
+    if not isinstance(tree, dict):
+        return {}
+    if name in tree:
+        return tree[name]
+    if "." in name:
+        node = tree
+        for part in name.split("."):
+            if not isinstance(node, dict) or part not in node:
+                return {}
+            node = node[part]
+        return node
+    return {}
+
+
+def _name_parts(name):
+    return tuple(name.split("."))
+
+
+def collect_units(module, params, state, prefix=()):
+    """Yield (kind, path, unit_dict) in module-definition order.
+
+    ``path`` addresses the unit inside the params tree (tuple of keys);
+    BN units also carry the same path into the state tree.
+    """
+    units = []
+
+    def walk(mod, p, s, path):
+        if isinstance(mod, Conv2d):
+            units.append(("conv", path, {"p": p, "s": s, "mod": mod}))
+            return
+        if isinstance(mod, Linear):
+            units.append(("linear", path, {"p": p, "s": s, "mod": mod}))
+            return
+        if isinstance(mod, BatchNorm2d):
+            units.append(("bn", path, {"p": p, "s": s, "mod": mod}))
+            return
+        for name, child in mod.children():
+            walk(child, _child_params(p, name), _child_params(s, name),
+                 path + _name_parts(name))
+
+    walk(module, params, state, prefix)
+    return units
+
+
+# ---------------------------------------------------------------- torch
+
+
+def _group_torch_units(state_dict):
+    """Group a torch state_dict into (kind, name, tensors) units, in
+    registration order."""
+    items = [(k, np.asarray(v)) for k, v in state_dict.items()
+             if not k.endswith("num_batches_tracked")]
+    units = []
+    by_prefix = {}
+    for key, val in items:
+        if "." in key:
+            prefix, leaf = key.rsplit(".", 1)
+        else:
+            prefix, leaf = "", key
+        by_prefix.setdefault(prefix, {})[leaf] = val
+    # preserve first-seen prefix order
+    seen = []
+    for key, _ in items:
+        prefix = key.rsplit(".", 1)[0] if "." in key else ""
+        if prefix not in seen:
+            seen.append(prefix)
+    for prefix in seen:
+        leaves = by_prefix[prefix]
+        w = leaves.get("weight")
+        if w is not None and w.ndim == 4:
+            units.append(("conv", prefix,
+                          {"w": w, "b": leaves.get("bias")}))
+        elif w is not None and w.ndim == 2:
+            units.append(("linear", prefix,
+                          {"w": w, "b": leaves.get("bias")}))
+        elif "running_mean" in leaves or (w is not None and w.ndim == 1):
+            units.append(("bn", prefix, {
+                "scale": w, "bias": leaves.get("bias"),
+                "mean": leaves.get("running_mean"),
+                "var": leaves.get("running_var")}))
+        else:  # pragma: no cover - unknown tensor group
+            raise ValueError(
+                f"unrecognized state_dict entry group '{prefix}': "
+                f"{sorted(leaves)} with shapes "
+                f"{[v.shape for v in leaves.values()]}")
+    return units
+
+
+# ------------------------------------------------------------- matching
+
+
+def _conv_shape_ours(t_w):
+    return tuple(np.transpose(t_w, (2, 3, 1, 0)).shape)
+
+
+def _compatible(kind, ours, theirs):
+    op, tp = ours[2]["p"], theirs[2]
+    if kind == "conv":
+        return tuple(op["w"].shape) == _conv_shape_ours(tp["w"])
+    if kind == "linear":
+        return tuple(op["w"].shape) == tuple(tp["w"].T.shape)
+    if kind == "bn":
+        ref = tp["mean"] if tp["mean"] is not None else tp["scale"]
+        ours_n = (op["scale"].shape if op else
+                  ours[2]["s"]["mean"].shape)
+        return tuple(ours_n) == tuple(ref.shape)
+    return False  # pragma: no cover
+
+
+def pair_units(our_units, torch_units, lookahead=6):
+    """Pair our units with torch units in order, with a bounded
+    lookahead on the torch side for registration-order differences.
+    Returns list of (our_unit, torch_unit)."""
+    remaining = list(torch_units)
+    pairs = []
+    for ou in our_units:
+        kind = ou[0]
+        hit = None
+        for j, tu in enumerate(remaining[:lookahead]):
+            if tu[0] == kind and _compatible(kind, ou, tu):
+                hit = j
+                break
+        if hit is None:
+            near = [(t[0], t[1]) for t in remaining[:lookahead]]
+            raise ValueError(
+                f"no torch unit matches {kind} at path "
+                f"{'/'.join(ou[1])} (shape "
+                f"{[tuple(np.asarray(v).shape) for v in ou[2]['p'].values()]}); "
+                f"next torch units: {near}")
+        pairs.append((ou, remaining.pop(hit)))
+    if remaining:
+        raise ValueError(
+            "torch state_dict has unmatched units: "
+            + ", ".join(f"{k}:{n}" for k, n, _ in remaining[:8]))
+    return pairs
+
+
+# ------------------------------------------------------------ injection
+
+
+def _set_path(tree, path, leaf_key, value):
+    node = tree
+    for part in path:
+        node = node[part]
+    node[leaf_key] = value
+
+
+def _cast_like(old, new):
+    return jnp.asarray(new, dtype=old.dtype)
+
+
+def import_torch_state_dict(state_dict, model, params, state):
+    """Return (params, state) with every conv/linear/BN leaf replaced
+    by the corresponding torch tensor (layouts converted, dtypes
+    preserved). Raises ValueError on any structural mismatch."""
+    import copy
+    params = copy.deepcopy(params)
+    state = copy.deepcopy(state)
+    ours = collect_units(model, params, state)
+    theirs = _group_torch_units(state_dict)
+    n_ours = len(ours)
+    if n_ours != len(theirs):
+        raise ValueError(
+            f"unit count mismatch: model has {n_ours} parameterized "
+            f"units, state_dict has {len(theirs)}")
+    for ou, tu in pair_units(ours, theirs):
+        kind, path, u = ou
+        tp = tu[2]
+        if kind == "conv":
+            _set_path(params, path, "w", _cast_like(
+                u["p"]["w"], np.transpose(tp["w"], (2, 3, 1, 0))))
+            if tp.get("b") is not None:
+                if "b" not in u["p"]:
+                    raise ValueError(
+                        f"torch conv '{tu[1]}' has a bias but model conv "
+                        f"at {'/'.join(path)} does not")
+                _set_path(params, path, "b", _cast_like(u["p"]["b"], tp["b"]))
+        elif kind == "linear":
+            _set_path(params, path, "w",
+                      _cast_like(u["p"]["w"], tp["w"].T))
+            if tp.get("b") is not None:
+                _set_path(params, path, "b", _cast_like(u["p"]["b"], tp["b"]))
+        else:  # bn
+            if u["p"]:
+                _set_path(params, path, "scale",
+                          _cast_like(u["p"]["scale"], tp["scale"]))
+                _set_path(params, path, "bias",
+                          _cast_like(u["p"]["bias"], tp["bias"]))
+            if tp.get("mean") is not None:
+                _set_path(state, path, "mean",
+                          _cast_like(u["s"]["mean"], tp["mean"]))
+                _set_path(state, path, "var",
+                          _cast_like(u["s"]["var"], tp["var"]))
+    return params, state
+
+
+def load_torch_checkpoint(path, model, params, state):
+    """Load a reference checkpoint file (``checkpoint.pth.tar`` /
+    ``model_best.pth.tar`` — a pickled dict with a ``state_dict`` key —
+    or a bare state_dict) into (params, state). Returns
+    (params, state, meta) where meta carries epoch/best_prec1 when
+    present."""
+    import torch
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+        meta = {k: v for k, v in ckpt.items() if k != "state_dict"}
+    else:
+        sd, meta = ckpt, {}
+    # DataParallel/DDP checkpoints prefix every key with 'module.'
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in sd.items()}
+    params, state = import_torch_state_dict(sd, model, params, state)
+    return params, state, meta

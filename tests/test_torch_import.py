@@ -1,0 +1,201 @@
+"""Torch-checkpoint import (convnet_tpu/utils/torch_import.py).
+
+A user of the reference (eladhoffer/convNet.pytorch) loads checkpoints
+with ``torch.load(...); model.load_state_dict(ckpt['state_dict'])``
+(reference main.py:~260-290 approx.). These tests build torch twins
+with the reference's registration order/naming, export their
+state_dict, import into the convnet_tpu model, and require logits
+parity in eval mode — covering ResNet-18 (BasicBlock + downsample,
+registration order differs from execution order) and a
+conv/bn/linear sequential (AlexNet-shaped).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as nn
+
+from convnet_tpu import models
+from convnet_tpu.core.module import apply_module
+from convnet_tpu.utils.torch_import import (import_torch_state_dict,
+                                            load_torch_checkpoint)
+
+
+def _torch_basic_block(cin, cout, stride):
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            out = torch.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return torch.relu(out + idt)
+    return Block()
+
+
+class _TorchResNet18(nn.Module):
+    def __init__(self, classes=21):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        widths = [64, 64, 128, 256, 512]
+        for i in range(1, 5):
+            stride = 1 if i == 1 else 2
+            setattr(self, f"layer{i}", nn.Sequential(
+                _torch_basic_block(widths[i - 1], widths[i], stride),
+                _torch_basic_block(widths[i], widths[i], 1)))
+        self.fc = nn.Linear(512, classes)
+
+    def forward(self, x):
+        x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+def _randomize_bn_stats(tm, rng):
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.copy_(torch.tensor(
+                    rng.standard_normal(m.num_features) * 0.1,
+                    dtype=torch.float32))
+                m.running_var.copy_(torch.tensor(
+                    1.0 + 0.2 * rng.random(m.num_features),
+                    dtype=torch.float32))
+
+
+def test_import_resnet18_logits_parity():
+    rng = np.random.default_rng(0)
+    tm = _TorchResNet18()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+
+    model = models.build("resnet", depth=18, num_classes=21)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = import_torch_state_dict(tm.state_dict(), model,
+                                            params, state)
+
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_import_rejects_shape_mismatch():
+    tm = _TorchResNet18(classes=7)  # fc mismatch vs 21-class model
+    model = models.build("resnet", depth=18, num_classes=21)
+    params, state = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        import_torch_state_dict(tm.state_dict(), model, params, state)
+
+
+def test_import_rejects_unit_count_mismatch():
+    tm = _TorchResNet18()
+    model = models.build("resnet", depth=34, num_classes=21)
+    params, state = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        import_torch_state_dict(tm.state_dict(), model, params, state)
+
+
+class _TorchCifarResNet20(nn.Module):
+    """Reference-style CIFAR ResNet-20 (models/resnet.py:~380-450
+    approx. upstream): 3x3 stem, 3 stages x 3 BasicBlocks."""
+
+    def __init__(self, classes=10):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 16, 3, 1, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(16)
+        widths = [16, 16, 32, 64]
+        for i in range(1, 4):
+            stride = 1 if i == 1 else 2
+            blocks = [_torch_basic_block(widths[i - 1], widths[i], stride)]
+            blocks += [_torch_basic_block(widths[i], widths[i], 1)
+                       for _ in range(2)]
+            setattr(self, f"layer{i}", nn.Sequential(*blocks))
+        self.fc = nn.Linear(64, classes)
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = self.layer3(self.layer2(self.layer1(x)))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+def test_import_cifar_resnet20_logits_parity():
+    rng = np.random.default_rng(2)
+    tm = _TorchCifarResNet20()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    model = models.build("resnet", depth=20, dataset="cifar10")
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = import_torch_state_dict(tm.state_dict(), model,
+                                            params, state)
+    x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_cli_import_torch_flag(tmp_path):
+    """--import-torch PATH initializes CLI training/eval from a
+    reference checkpoint (reference resume journey, main.py:~260-290
+    approx.)."""
+    from convnet_tpu.cli.main import main
+
+    tm = _TorchCifarResNet20()
+    tm.eval()
+    path = tmp_path / "ref.pth.tar"
+    torch.save({"state_dict": tm.state_dict(), "epoch": 3}, path)
+    res = main([
+        "--dataset", "synthetic", "--model", "resnet",
+        "--model-config", "{'depth': 20}",
+        "-b", "8", "--epochs", "1", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "imp",
+        "--import-torch", str(path),
+    ])
+    assert np.isfinite(res["best_prec1"])
+
+
+def test_load_checkpoint_file_with_module_prefix(tmp_path):
+    """Reference checkpoints are dicts with 'state_dict' (+ epoch /
+    best_prec1), possibly DataParallel-prefixed with 'module.'."""
+    rng = np.random.default_rng(1)
+    tm = _TorchResNet18()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    sd = {f"module.{k}": v for k, v in tm.state_dict().items()}
+    path = tmp_path / "checkpoint.pth.tar"
+    torch.save({"state_dict": sd, "epoch": 7, "best_prec1": 55.5}, path)
+
+    model = models.build("resnet", depth=18, num_classes=21)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state, meta = load_torch_checkpoint(str(path), model,
+                                                params, state)
+    assert meta["epoch"] == 7 and meta["best_prec1"] == 55.5
+
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
