@@ -206,21 +206,50 @@ def import_torch_state_dict(state_dict, model, params, state):
         raise ValueError(
             f"unit count mismatch: model has {n_ours} parameterized "
             f"units, state_dict has {len(theirs)}")
+    pending_bias = None  # (torch_name, bias) from a bias-less model conv
+    last_conv_out = None  # out-channels of the most recent conv unit
     for ou, tu in pair_units(ours, theirs):
         kind, path, u = ou
         tp = tu[2]
+        if pending_bias is not None and kind != "bn":
+            raise ValueError(
+                f"torch conv '{pending_bias[0]}' has a bias, model conv "
+                f"has none, and the next unit is not a BatchNorm to "
+                f"fold it into")
         if kind == "conv":
+            last_conv_out = int(np.asarray(tp["w"]).shape[0])
             _set_path(params, path, "w", _cast_like(
                 u["p"]["w"], np.transpose(tp["w"], (2, 3, 1, 0))))
             if tp.get("b") is not None:
-                if "b" not in u["p"]:
-                    raise ValueError(
-                        f"torch conv '{tu[1]}' has a bias but model conv "
-                        f"at {'/'.join(path)} does not")
-                _set_path(params, path, "b", _cast_like(u["p"]["b"], tp["b"]))
+                if "b" in u["p"]:
+                    _set_path(params, path, "b",
+                              _cast_like(u["p"]["b"], tp["b"]))
+                else:
+                    # conv bias followed by BN folds exactly into the
+                    # BN's running mean: BN(conv+b | mean=mu) ==
+                    # BN(conv | mean=mu-b)
+                    pending_bias = (tu[1], tp["b"])
         elif kind == "linear":
-            _set_path(params, path, "w",
-                      _cast_like(u["p"]["w"], tp["w"].T))
+            w = np.asarray(tp["w"])  # (out, in)
+            # conv→flatten boundary: torch flattened (C, H, W), our
+            # NHWC pipeline flattens (H, W, C) — permute the input
+            # rows of the first linear after the conv features
+            if last_conv_out and w.shape[1] != last_conv_out:
+                if w.shape[1] % last_conv_out:
+                    raise ValueError(
+                        f"linear '{tu[1]}' in_features {w.shape[1]} "
+                        f"is not a multiple of the preceding conv's "
+                        f"{last_conv_out} channels")
+                spatial = w.shape[1] // last_conv_out
+                side = int(round(spatial ** 0.5))
+                if side * side != spatial:
+                    raise ValueError(
+                        f"linear '{tu[1]}': cannot infer square "
+                        f"spatial size from {spatial}")
+                w = (w.reshape(w.shape[0], last_conv_out, side, side)
+                     .transpose(0, 2, 3, 1).reshape(w.shape[0], -1))
+            last_conv_out = None
+            _set_path(params, path, "w", _cast_like(u["p"]["w"], w.T))
             if tp.get("b") is not None:
                 _set_path(params, path, "b", _cast_like(u["p"]["b"], tp["b"]))
         else:  # bn
@@ -230,10 +259,29 @@ def import_torch_state_dict(state_dict, model, params, state):
                 _set_path(params, path, "bias",
                           _cast_like(u["p"]["bias"], tp["bias"]))
             if tp.get("mean") is not None:
+                mean = np.asarray(tp["mean"])
+                if pending_bias is not None:
+                    if pending_bias[1].shape != mean.shape:
+                        raise ValueError(
+                            f"cannot fold bias of torch conv "
+                            f"'{pending_bias[0]}' (shape "
+                            f"{pending_bias[1].shape}) into BN "
+                            f"'{tu[1]}' (features {mean.shape})")
+                    mean = mean - pending_bias[1]
+                    pending_bias = None
                 _set_path(state, path, "mean",
-                          _cast_like(u["s"]["mean"], tp["mean"]))
+                          _cast_like(u["s"]["mean"], mean))
                 _set_path(state, path, "var",
                           _cast_like(u["s"]["var"], tp["var"]))
+            elif pending_bias is not None:
+                raise ValueError(
+                    f"torch conv '{pending_bias[0]}' bias needs BN "
+                    f"running stats to fold into, but BN '{tu[1]}' "
+                    f"has none")
+    if pending_bias is not None:
+        raise ValueError(
+            f"torch conv '{pending_bias[0]}' has a bias with no "
+            f"following BN to fold it into")
     return params, state
 
 

@@ -154,6 +154,51 @@ def test_import_cifar_resnet20_logits_parity():
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_import_alexnet_logits_parity():
+    """Sequential conv/bn/linear family (reference AlexNet-OWT-BN,
+    alexnet.py:~10-90 approx.): torch twin in features/classifier
+    registration order."""
+    rng = np.random.default_rng(3)
+
+    class TorchAlexNetBN(nn.Module):
+        def __init__(self, classes=13):
+            super().__init__()
+
+            def cbr(cin, cout, k, s, p):
+                return [nn.Conv2d(cin, cout, k, s, p),
+                        nn.BatchNorm2d(cout), nn.ReLU()]
+
+            self.features = nn.Sequential(
+                *cbr(3, 64, 11, 4, 2), nn.MaxPool2d(3, 2),
+                *cbr(64, 192, 5, 1, 2), nn.MaxPool2d(3, 2),
+                *cbr(192, 384, 3, 1, 1),
+                *cbr(384, 256, 3, 1, 1),
+                *cbr(256, 256, 3, 1, 1), nn.MaxPool2d(3, 2))
+            self.classifier = nn.Sequential(
+                nn.Dropout(0.5), nn.Linear(256 * 6 * 6, 4096), nn.ReLU(),
+                nn.Dropout(0.5), nn.Linear(4096, 4096), nn.ReLU(),
+                nn.Linear(4096, classes))
+
+        def forward(self, x):
+            x = self.features(x)
+            return self.classifier(x.flatten(1))
+
+    tm = TorchAlexNetBN()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    model = models.build("alexnet", num_classes=13)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = import_torch_state_dict(tm.state_dict(), model,
+                                            params, state)
+    x = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.slow
 def test_cli_import_torch_flag(tmp_path):
     """--import-torch PATH initializes CLI training/eval from a
