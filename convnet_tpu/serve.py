@@ -42,7 +42,17 @@ class Predictor:
         self.impl = impl or "xla"
 
         ckpt = None
-        if checkpoint:
+        if checkpoint and (str(checkpoint).endswith((".pth", ".pt"))
+                           or ".pth." in str(checkpoint)):
+            # serve straight from a PyTorch reference checkpoint
+            # (reference evaluate journey, main.py:~280 approx.)
+            from convnet_tpu.utils.torch_import import load_torch_checkpoint
+            params, state = self.model.init(jax.random.PRNGKey(0),
+                                            self.policy)
+            params, state, meta = load_torch_checkpoint(
+                checkpoint, self.model, params, state)
+            ckpt = {"config": meta.get("config", {})}
+        elif checkpoint:
             ckpt = load_checkpoint(checkpoint)
             params, state = ckpt["params"], ckpt["state"]
             params = jax.tree_util.tree_map(jnp.asarray, params)

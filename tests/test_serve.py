@@ -80,3 +80,26 @@ def test_predictor_uint8_input():
                                           dtype=np.uint8)
     logits = p.predict_logits(x)
     assert logits.shape == (3, 10)
+
+
+def test_predictor_from_torch_checkpoint(tmp_path):
+    """Serving straight from a PyTorch reference checkpoint (the
+    reference evaluate journey) — logits must match the torch model."""
+    import torch
+    from tests.test_torch_import import (_TorchCifarResNet20,
+                                         _randomize_bn_stats)
+    rng = np.random.default_rng(5)
+    tm = _TorchCifarResNet20()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    path = tmp_path / "model_best.pth.tar"
+    torch.save({"state_dict": tm.state_dict(), "epoch": 2}, path)
+
+    p = Predictor("resnet", {"dataset": "cifar10", "depth": 20},
+                  checkpoint=str(path), dtype="float32", batch_size=4,
+                  impl="xla", normalize=None)
+    x = rng.random((5, 32, 32, 3)).astype(np.float32)
+    logits = p.predict_logits(x)
+    with torch.no_grad():
+        ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    np.testing.assert_allclose(logits, ref, rtol=1e-3, atol=1e-3)
