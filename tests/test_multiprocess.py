@@ -1,0 +1,82 @@
+"""True multi-process distributed training (2 processes, CPU).
+
+The reference's DDP contract is one process per accelerator with
+env://-style rendezvous (main.py:~170-185 approx.). These tests launch
+REAL separate processes with `jax.distributed.initialize` over a
+localhost coordinator — the same code path `examples/multihost.sh`
+uses on real pods — and check the full CLI trainer: per-process data
+sharding, global-batch assembly via
+`make_array_from_process_local_data` (Trainer._shard multi-host
+branch), cross-process metric reduction, and rank-0-only
+checkpointing. Complements the single-process 8-fake-device mesh
+tests in test_distributed.py.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import os, sys
+rank = int(sys.argv[1]); world = int(sys.argv[2]); port = sys.argv[3]
+tmp = sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from convnet_tpu.cli.main import main
+res = main([
+    "--dataset", "synthetic", "--model", "resnet",
+    "--model-config", "{{'depth': 20}}",
+    "-b", "32", "--epochs", "1", "--print-freq", "0",
+    "--results-dir", tmp, "--save", "mp",
+    "--dist-init", f"localhost:{{port}}",
+    "--dist-rank", str(rank), "--dist-world-size", str(world),
+    "--seed", "7",
+])
+print("RESULT", rank, res["best_prec1"], flush=True)
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cli_training(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(repo=REPO))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(script), str(r), "2", str(port),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for r in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
+
+    # both ranks computed the SAME globally-reduced metrics
+    accs = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][-1]
+        accs.append(float(line.split()[2]))
+    assert accs[0] == pytest.approx(accs[1], abs=1e-6), accs
+
+    # rank 0 wrote the checkpoint + results; training was real
+    d = tmp_path / "mp"
+    assert (d / "checkpoint.npz").exists()
+    rows = json.loads((d / "results.json").read_text())
+    assert np.isfinite(rows[0]["train_loss"])
