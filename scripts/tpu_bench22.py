@@ -1,5 +1,10 @@
 """Session 22: GoogLeNet@224 after the small-pool fusion barrier.
 
+HARNESS BUG (found session 23): the timed loop below fetches the loss
+every iteration — each fetch is a ~25 ms relay round-trip, so the
+step times this script prints are inflated by ~25 ms. Kept for the
+record; use the session-15/19 harness (k dispatches, one fetch).
+
 The barrier (ops/pool.py _needs_fusion_barrier) now applies to every
 pool with output <=32 on TPU backends — which on GoogLeNet@224 is the
 second stem pool (28), pool3 (14), pool4 (7) and all nine inception
