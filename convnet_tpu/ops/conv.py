@@ -19,6 +19,7 @@ import os
 from typing import Sequence, Union
 
 import jax
+import jax.numpy as jnp
 from jax import lax
 
 DIMSPEC = ("NHWC", "HWIO", "NHWC")
@@ -32,6 +33,17 @@ DIMSPEC = ("NHWC", "HWIO", "NHWC")
 # canonical conv path stays default and this remains an escape hatch
 # for backends without that canonicalization.
 _DOT_1X1 = os.environ.get("CONVNET_TPU_1X1_DOT", "0") == "1"
+
+# Weight-gradients as explicit dot contractions (opt-in experiment:
+# CONVNET_TPU_DOT_WGRAD=1). Profiling (scripts/tpu_profile_rn50, session
+# 29c) attributes 56.6 of the RN50 step's 104.6 ms to conv wgrads —
+# ~3x the forward's 18.0 ms at equal FLOPs — and XLA's own cost model
+# concurs (137 Mcycles bwd vs 54 fwd). The wgrad contraction runs over
+# batch*space; expressing it as [BHW,Cin]^T @ [BHW,Cout] per tap lets
+# the dot emitter stream that reduction instead of the conv transpose
+# emitter's window loop. Forward and data-grad stay on the native conv
+# path (which profiling shows is efficient: dgrad 5.6 ms total).
+_DOT_WGRAD = os.environ.get("CONVNET_TPU_DOT_WGRAD", "0") == "1"
 
 
 def _pair(v) -> tuple:
@@ -78,15 +90,83 @@ def conv2d(
         y = jax.numpy.matmul(x.reshape(b * h * wd, c),
                              w.reshape(c, -1).astype(x.dtype))
         return y.reshape(b, h, wd, -1)
+    pad = _resolve_padding(padding, (kh, kw), _pair(dilation))
+    if (_DOT_WGRAD and groups == 1 and _pair(dilation) == (1, 1)
+            and not isinstance(pad, str)):
+        f = _make_conv_dot_wgrad(x.shape, w.shape, _pair(stride), pad,
+                                 str(x.dtype), str(w.dtype))
+        return f(x, w)
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=_pair(stride),
-        padding=_resolve_padding(padding, (kh, kw), _pair(dilation)),
+        padding=pad,
         rhs_dilation=_pair(dilation),
         feature_group_count=groups,
         dimension_numbers=DIMSPEC,
     )
+
+
+def _wgrad_dot(x, dy, kshape, stride, pad):
+    """dw[di,dj] = x_patch(di,dj)ᵀ · dy, contracting batch*space —
+    fp32 accumulation, one dot per tap."""
+    kh, kw, cin, cout = kshape
+    b = x.shape[0]
+    ho, wo = dy.shape[1], dy.shape[2]
+    sh, sw = stride
+    dyf = dy.reshape(b * ho * wo, cout)
+    (plh, phh), (plw, phw) = pad
+    if (kh, kw, sh, sw) == (1, 1, 1, 1) and pad == ((0, 0), (0, 0)):
+        dw = lax.dot_general(x.reshape(-1, cin), dyf,
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        return dw.reshape(kshape)
+    xp = jnp.pad(x, ((0, 0), (plh, phh), (plw, phw), (0, 0)))
+    taps = []
+    for di in range(kh):
+        for dj in range(kw):
+            patch = lax.slice(
+                xp, (0, di, dj, 0),
+                (b, di + (ho - 1) * sh + 1, dj + (wo - 1) * sw + 1, cin),
+                (1, sh, sw, 1))
+            taps.append(lax.dot_general(
+                patch.reshape(b * ho * wo, cin), dyf,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    return jnp.stack(taps).reshape(kshape)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _make_conv_dot_wgrad(x_shape, w_shape, stride, pad, x_dtype, w_dtype):
+    """custom_vjp conv: native forward + native data-grad, dot-based
+    weight-grad (see _DOT_WGRAD note above)."""
+
+    def _fwd_conv(x, w):
+        return lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=stride, padding=pad,
+            dimension_numbers=DIMSPEC)
+
+    @jax.custom_vjp
+    def f(x, w):
+        return _fwd_conv(x, w)
+
+    def fwd(x, w):
+        return _fwd_conv(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        # data-grad through the native transpose rule (efficient per
+        # profiling); weight-grad as dots
+        _, pull = jax.vjp(lambda x_: _fwd_conv(x_, w), x)
+        dx, = pull(dy)
+        dw = _wgrad_dot(x, dy, w_shape, stride, pad).astype(w_dtype)
+        return dx, dw
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def conv2d_transpose_output_shape(in_size, kernel, stride, padding):
