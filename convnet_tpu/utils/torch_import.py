@@ -285,6 +285,62 @@ def import_torch_state_dict(state_dict, model, params, state):
     return params, state
 
 
+def export_into_torch_state_dict(template_state_dict, model, params, state):
+    """Inverse of :func:`import_torch_state_dict`: fill a torch
+    state_dict *template* (e.g. ``reference_model.state_dict()``) with
+    this model's weights, converting layouts back (HWIO→OIHW,
+    linear transpose, NHWC→NCHW flatten order). Returns a new dict of
+    numpy arrays keyed like the template — load it with
+    ``reference_model.load_state_dict({k: torch.tensor(v) ...})``.
+
+    Covers the deploy-back journey: train on TPU here, serve with the
+    PyTorch reference stack. Conv biases in the template cannot be
+    reconstructed (ours are bias-free, folded into BN) and are emitted
+    as zeros with the BN mean adjusted — numerically equivalent."""
+    ours = collect_units(model, params, state)
+    theirs = _group_torch_units(template_state_dict)
+    if len(ours) != len(theirs):
+        raise ValueError(
+            f"unit count mismatch: model has {len(ours)} parameterized "
+            f"units, template has {len(theirs)}")
+    out = {k: np.asarray(v) for k, v in template_state_dict.items()}
+    last_conv_out = None
+    for ou, tu in pair_units(ours, theirs):
+        kind, path, u = ou
+        prefix = tu[1]
+        key = (lambda leaf: f"{prefix}.{leaf}" if prefix else leaf)
+        if kind == "conv":
+            w = np.asarray(u["p"]["w"], np.float32)  # HWIO
+            last_conv_out = w.shape[3]
+            out[key("weight")] = np.transpose(w, (3, 2, 0, 1))
+            if tu[2].get("b") is not None:
+                out[key("bias")] = (
+                    np.asarray(u["p"]["b"], np.float32) if "b" in u["p"]
+                    else np.zeros(w.shape[3], np.float32))
+        elif kind == "linear":
+            w = np.asarray(u["p"]["w"], np.float32).T  # (out, in)
+            if last_conv_out and w.shape[1] != last_conv_out:
+                spatial = w.shape[1] // last_conv_out
+                side = int(round(spatial ** 0.5))
+                # ours is flattened (H, W, C); template wants (C, H, W)
+                w = (w.reshape(w.shape[0], side, side, last_conv_out)
+                     .transpose(0, 3, 1, 2).reshape(w.shape[0], -1))
+            last_conv_out = None
+            out[key("weight")] = w
+            if tu[2].get("b") is not None and "b" in u["p"]:
+                out[key("bias")] = np.asarray(u["p"]["b"], np.float32)
+        else:  # bn
+            if u["p"]:
+                out[key("weight")] = np.asarray(u["p"]["scale"], np.float32)
+                out[key("bias")] = np.asarray(u["p"]["bias"], np.float32)
+            if tu[2].get("mean") is not None:
+                out[key("running_mean")] = np.asarray(u["s"]["mean"],
+                                                     np.float32)
+                out[key("running_var")] = np.asarray(u["s"]["var"],
+                                                    np.float32)
+    return out
+
+
 def load_torch_checkpoint(path, model, params, state):
     """Load a reference checkpoint file (``checkpoint.pth.tar`` /
     ``model_best.pth.tar`` — a pickled dict with a ``state_dict`` key —

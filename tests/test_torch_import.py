@@ -220,6 +220,37 @@ def test_cli_import_torch_flag(tmp_path):
     assert np.isfinite(res["best_prec1"])
 
 
+def test_export_round_trip_logits_parity():
+    """Deploy-back journey: our weights exported INTO a torch template
+    must make the torch model produce our logits (ResNet-18, random
+    convnet_tpu init with randomized BN state)."""
+    from convnet_tpu.utils.torch_import import export_into_torch_state_dict
+    rng = np.random.default_rng(4)
+    model = models.build("resnet", depth=18, num_classes=21)
+    params, state = model.init(jax.random.PRNGKey(3))
+    # randomize BN running stats so the export is non-trivial
+    def jitter(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        return jax.tree_util.tree_unflatten(
+            treedef, [l + 0.05 * rng.standard_normal(l.shape)
+                      .astype(np.float32) for l in leaves])
+    state = jitter(state)
+
+    tm = _TorchResNet18(classes=21)
+    sd = export_into_torch_state_dict(tm.state_dict(), model, params, state)
+    tm.load_state_dict({k: torch.tensor(v) for k, v in sd.items()},
+                       strict=False)  # num_batches_tracked not emitted
+    tm.eval()
+
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
 def test_load_checkpoint_file_with_module_prefix(tmp_path):
     """Reference checkpoints are dicts with 'state_dict' (+ epoch /
     best_prec1), possibly DataParallel-prefixed with 'module.'."""
