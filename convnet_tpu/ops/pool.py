@@ -249,6 +249,11 @@ def _mp_bwd_padsum(kernel, stride, padding, x_shape, x_dtype, idx, dy):
                     m = dy * (idx == jnp.uint8(t)).astype(dy.dtype)
                     m = _shift2(m, du, dv, n_h, n_w)
                     plane = m if plane is None else plane + m
+            if (sh, sw) == (1, 1):
+                # single residue class covers dx entirely — a strided
+                # set would lower to a real scatter (measured 2.5 ms on
+                # the GoogLeNet branch pools, profile_gln session 29d)
+                return plane.astype(x_dtype)
             # place plane element (a, b) at (sh*a + rr, sw*b + rc):
             # strided .at[].set measured 2x faster than interior-pad
             # placement on this backend (scripts/tpu_bench25_results:
@@ -533,6 +538,8 @@ def _ap_bwd_padsum(kernel, stride, padding, x_shape, x_dtype,
                 for dv in ctaps:
                     m = _shift2(dys, du, dv, n_h, n_w)
                     plane = m if plane is None else plane + m
+            if (sh, sw) == (1, 1):
+                return plane.astype(x_dtype)  # single class covers dx
             if dx is None:
                 dx = jnp.zeros((b, h, w, c), dy.dtype)
             dx = dx.at[:, rr::sh, rc::sw, :].set(plane)
