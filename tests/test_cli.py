@@ -141,3 +141,13 @@ def test_evaluate_with_calibrate_bn(tmp_path):
         "--calibrate-bn",
     ])
     assert np.isfinite(res["loss"])
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    """--profile captures a jax.profiler trace of epoch 0 (SURVEY §5.1;
+    verified working on the axon backend too, PERF_NOTES session 29)."""
+    _run(tmp_path, "--profile")
+    import glob
+    traces = glob.glob(str(tmp_path / "t" / "profile" / "**" / "*.trace.json.gz"),
+                       recursive=True)
+    assert traces, "no trace file produced by --profile"
