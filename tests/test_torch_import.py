@@ -275,3 +275,47 @@ def test_load_checkpoint_file_with_module_prefix(tmp_path):
                            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                            train=False)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_import_vgg11_bn_logits_parity():
+    """VGG-11-BN twin (torchvision-style naming: features.N.*,
+    classifier.N.*) — deep sequential with five pool boundaries and the
+    conv-bias -> BN-mean fold at every conv."""
+    rng = np.random.default_rng(6)
+
+    class TorchVGG11BN(nn.Module):
+        def __init__(self, classes=11):
+            super().__init__()
+            cfg = [64, "M", 128, "M", 256, 256, "M", 512, 512, "M",
+                   512, 512, "M"]
+            layers, cin = [], 3
+            for v in cfg:
+                if v == "M":
+                    layers.append(nn.MaxPool2d(2, 2))
+                else:
+                    layers += [nn.Conv2d(cin, v, 3, 1, 1),
+                               nn.BatchNorm2d(v), nn.ReLU()]
+                    cin = v
+            self.features = nn.Sequential(*layers)
+            self.classifier = nn.Sequential(
+                nn.Linear(512 * 7 * 7, 4096), nn.ReLU(), nn.Dropout(0.5),
+                nn.Linear(4096, 4096), nn.ReLU(), nn.Dropout(0.5),
+                nn.Linear(4096, classes))
+
+        def forward(self, x):
+            return self.classifier(self.features(x).flatten(1))
+
+    tm = TorchVGG11BN()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    model = models.build("vgg", depth=11, num_classes=11)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = import_torch_state_dict(tm.state_dict(), model,
+                                            params, state)
+    x = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
