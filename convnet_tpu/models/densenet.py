@@ -4,6 +4,7 @@ included for zoo completeness). Huang et al. 2017 spec."""
 import jax
 import jax.numpy as jnp
 
+from convnet_tpu import ops
 from convnet_tpu.core.module import Module, Sequential, Context
 from convnet_tpu.nn import Conv2d, BatchNorm2d, Linear, MaxPool2d, AvgPool2d, GlobalAvgPool
 from convnet_tpu.models.resnet import weight_decay_config
@@ -24,9 +25,9 @@ class DenseLayer(Module):
     def __call__(self, params, state, x, ctx: Context):
         new_state = dict(state)
         y, new_state["bn1"] = self.bn1(params["bn1"], state["bn1"], x, ctx)
-        y, _ = self.conv1(params["conv1"], {}, jax.nn.relu(y), ctx)
+        y, _ = self.conv1(params["conv1"], {}, ops.relu(y), ctx)
         y, new_state["bn2"] = self.bn2(params["bn2"], state["bn2"], y, ctx)
-        y, _ = self.conv2(params["conv2"], {}, jax.nn.relu(y), ctx)
+        y, _ = self.conv2(params["conv2"], {}, ops.relu(y), ctx)
         return jnp.concatenate([x, y], axis=-1), new_state
 
 
@@ -38,7 +39,7 @@ class Transition(Module):
 
     def __call__(self, params, state, x, ctx: Context):
         y, bn_state = self.bn(params["bn"], state["bn"], x, ctx)
-        y, _ = self.conv(params["conv"], {}, jax.nn.relu(y), ctx)
+        y, _ = self.conv(params["conv"], {}, ops.relu(y), ctx)
         y, _ = self.pool({}, {}, y, ctx)
         return y, {"bn": bn_state}
 
@@ -80,11 +81,11 @@ class DenseNet(Module):
     def __call__(self, params, state, x, ctx: Context):
         new_state = dict(state)
         x, new_state["stem"] = self.stem(params["stem"], state["stem"], x, ctx)
-        x = jax.nn.relu(x)
+        x = ops.relu(x)
         x, new_state["blocks"] = self.blocks(params["blocks"], state["blocks"], x, ctx)
         x, new_state["bn_final"] = self.bn_final(
             params["bn_final"], state["bn_final"], x, ctx)
-        x = jax.nn.relu(x)
+        x = ops.relu(x)
         x, _ = self.pool({}, {}, x, ctx)
         x, _ = self.fc(params["fc"], {}, x, ctx)
         return x, new_state

@@ -8,6 +8,7 @@ rather than to a reference file.
 
 import jax
 
+from convnet_tpu import ops
 from convnet_tpu.core.module import Module, Sequential, Context
 from convnet_tpu.nn import Linear, GlobalAvgPool, Dropout
 from convnet_tpu.models.resnet import weight_decay_config
@@ -30,7 +31,7 @@ class ConvBNReLU6(ConvBN):
         x, _ = self.conv(params["conv"], {}, x, ctx)
         x, bn_state = self.bn(params["bn"], state["bn"], x, ctx)
         if self.relu:
-            x = jax.numpy.minimum(jax.nn.relu(x), jax.numpy.asarray(6.0, x.dtype))
+            x = ops.relu6(x)
         return x, {"bn": bn_state}
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 
+from convnet_tpu import ops
 from convnet_tpu.core import initializers as init
 from convnet_tpu.core.module import Module, Sequential, Context
 from convnet_tpu.nn import (
@@ -79,7 +80,7 @@ class ConvBN(Module):
         x, _ = self.conv(params["conv"], {}, x, ctx)
         x, bn_state = self.bn(params["bn"], state["bn"], x, ctx)
         if self.relu:
-            x = jax.nn.relu(x)
+            x = ops.relu(x)
         return x, {"bn": bn_state}
 
 
@@ -104,7 +105,7 @@ class BasicBlock(Module):
         if self.downsample is not None:
             identity, new_state["downsample"] = self.downsample(
                 params["downsample"], state["downsample"], x, ctx)
-        out = jax.nn.relu(out + identity)
+        out = ops.relu(out + identity)
         return out, new_state
 
 
@@ -132,7 +133,7 @@ class Bottleneck(Module):
         if self.downsample is not None:
             identity, new_state["downsample"] = self.downsample(
                 params["downsample"], state["downsample"], x, ctx)
-        out = jax.nn.relu(out + identity)
+        out = ops.relu(out + identity)
         return out, new_state
 
 

@@ -162,12 +162,12 @@ class _Stateless(Module):
 
 class ReLU(_Stateless):
     def __call__(self, params, state, x, ctx):
-        return jax.nn.relu(x), state
+        return ops.relu(x), state
 
 
 class ReLU6(_Stateless):
     def __call__(self, params, state, x, ctx):
-        return jnp.minimum(jax.nn.relu(x), jnp.asarray(6.0, x.dtype)), state
+        return ops.relu6(x), state
 
 
 class HardSwish(_Stateless):

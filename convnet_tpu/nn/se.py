@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from convnet_tpu import ops
 from convnet_tpu.core.module import Module, Context
 from convnet_tpu.nn.layers import Linear
 
@@ -54,7 +55,7 @@ class SEBlock(Module):
     def __call__(self, params, state, x, ctx: Context):
         s = _squeeze(x, ctx)
         s, _ = self.fc1(params["fc1"], {}, s, ctx)
-        s = jax.nn.relu(s)
+        s = ops.relu(s)
         s, _ = self.fc2(params["fc2"], {}, s, ctx)
         gate = jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
         gate = _gate(gate, ctx)

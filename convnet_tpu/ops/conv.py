@@ -82,10 +82,21 @@ def conv2d(
     transpose rule on the axon backend (verified 2026-08-16).
     """
     kh, kw = w.shape[0], w.shape[1]
-    if (_DOT_1X1 and kh == 1 and kw == 1 and groups == 1
-            and _pair(stride) == (1, 1)
-            and _resolve_padding(padding, (1, 1), _pair(dilation))
-            in ("VALID", ((0, 0), (0, 0)))):
+    is_pointwise = (kh == 1 and kw == 1 and groups == 1
+                    and _pair(stride) == (1, 1)
+                    and _resolve_padding(padding, (1, 1), _pair(dilation))
+                    in ("VALID", ((0, 0), (0, 0))))
+    # Pointwise-conv backward as explicit dots (round-3 experiment:
+    # profiling job 011 splits the 68.8 ms of backward conv time into
+    # ~24 ms wgrad and ~45 ms dgrad-of-1x1 fusions — the transpose
+    # emitter's dgrad, not the wgrad, is the bigger half). Read
+    # dynamically so the persistent TPU worker can A/B in-process.
+    bwd_mode = os.environ.get("CONVNET_TPU_1X1_BWD", "")
+    if is_pointwise and bwd_mode in ("dgrad", "wgrad", "both"):
+        f = _make_conv1x1_dot_bwd(x.shape, w.shape, str(x.dtype),
+                                  str(w.dtype), bwd_mode)
+        return f(x, w)
+    if (_DOT_1X1 and is_pointwise):
         b, h, wd, c = x.shape
         y = jax.numpy.matmul(x.reshape(b * h * wd, c),
                              w.reshape(c, -1).astype(x.dtype))
@@ -163,6 +174,53 @@ def _make_conv_dot_wgrad(x_shape, w_shape, stride, pad, x_dtype, w_dtype):
         _, pull = jax.vjp(lambda x_: _fwd_conv(x_, w), x)
         dx, = pull(dy)
         dw = _wgrad_dot(x, dy, w_shape, stride, pad).astype(w_dtype)
+        return dx, dw
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@lru_cache(maxsize=None)
+def _make_conv1x1_dot_bwd(x_shape, w_shape, x_dtype, w_dtype, mode):
+    """custom_vjp for pointwise (1×1/s1/p0) convs: native forward;
+    data-grad and/or weight-grad as explicit dot_generals over
+    flattened pixels (mode: 'dgrad' | 'wgrad' | 'both'). A pointwise
+    conv's dgrad is dy·Wᵀ and its wgrad Xᵀ·dy — both plain matmuls the
+    dot emitter can stream, bypassing the conv transpose emitter."""
+    cin, cout = w_shape[2], w_shape[3]
+    b, h, wd, _ = x_shape
+
+    def _fwd_conv(x, w):
+        return lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(1, 1),
+            padding=((0, 0), (0, 0)), dimension_numbers=DIMSPEC)
+
+    @jax.custom_vjp
+    def f(x, w):
+        return _fwd_conv(x, w)
+
+    def fwd(x, w):
+        return _fwd_conv(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        dyf = dy.reshape(b * h * wd, cout)
+        if mode in ("dgrad", "both"):
+            dx = lax.dot_general(
+                dyf, w.reshape(cin, cout).astype(dy.dtype),
+                (((1,), (1,)), ((), ()))).reshape(x_shape)
+        else:
+            _, pull = jax.vjp(lambda x_: _fwd_conv(x_, w), x)
+            dx, = pull(dy)
+        if mode in ("wgrad", "both"):
+            dw = lax.dot_general(
+                x.reshape(b * h * wd, cin), dyf,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw = dw.reshape(w_shape).astype(w_dtype)
+        else:
+            _, pull = jax.vjp(lambda w_: _fwd_conv(x, w_), w)
+            dw, = pull(dy)
         return dx, dw
 
     f.defvjp(fwd, bwd)

@@ -270,7 +270,7 @@ def _mp_bwd_padsum(kernel, stride, padding, x_shape, x_dtype, idx, dy):
 _mp_bwd_interleave = _mp_bwd
 
 
-def _select_mp_bwd(kernel, stride):
+def _select_mp_bwd(bwd_kind):
     """Backward formulation switch (scripts/PERF_NOTES.md sessions
     23c-25): the pad-sum residue-class formulation with strided
     ``.at[].set`` placement wins at every measured config — RN50 stem
@@ -278,8 +278,10 @@ def _select_mp_bwd(kernel, stride):
     and VGG's non-overlapping 2/2/0 pools 1115 → 1156 img/s (the
     earlier interior-pad placement lost there; strided-set does not).
     The interleave formulation is kept for A/B under
-    CONVNET_TPU_POOL_BWD=interleave."""
-    if os.environ.get("CONVNET_TPU_POOL_BWD") == "interleave":
+    CONVNET_TPU_POOL_BWD=interleave. ``bwd_kind`` is resolved from the
+    env at the ``max_pool2d`` call site so it participates in the
+    lru_cache key (flipping the flag mid-process takes effect)."""
+    if bwd_kind == "interleave":
         return _mp_bwd_interleave
     return _mp_bwd_padsum
 
@@ -394,8 +396,12 @@ def _erratum_class(stride, padding):
 
 
 @lru_cache(maxsize=None)
-def _make_max_pool(kernel, stride, padding, x_shape, dtype_name):
-    """custom_vjp specialized per static (config, shape, dtype).
+def _make_max_pool(kernel, stride, padding, x_shape, dtype_name,
+                   safe=None, bwd_kind=None):
+    """custom_vjp specialized per static (config, shape, dtype,
+    formulation). ``safe``/``bwd_kind`` are resolved from the env by
+    the caller so env-flag flips are honored in-process (they are part
+    of the cache key).
 
     Two forward formulations, selected by ``_erratum_class``:
     - erratum class (stride>1 and pad>0): primal is pure
@@ -409,7 +415,8 @@ def _make_max_pool(kernel, stride, padding, x_shape, dtype_name):
       and index (measured clean at every size for stride-1 and pad-0
       pools, and faster — the max chain is computed once).
     Backward: scatter-free residue interleave either way."""
-    safe = _erratum_class(stride, padding)
+    if safe is None:
+        safe = _erratum_class(stride, padding)
 
     @jax.custom_vjp
     def mp(x):
@@ -425,7 +432,9 @@ def _make_max_pool(kernel, stride, padding, x_shape, dtype_name):
             out, idx = _mp_fwd_argmax(x, kernel, stride, padding)
         return out, idx
 
-    bwd_impl = _select_mp_bwd(kernel, stride)
+    bwd_impl = _select_mp_bwd(
+        bwd_kind if bwd_kind is not None
+        else os.environ.get("CONVNET_TPU_POOL_BWD", ""))
 
     def bwd(idx, dy):
         return (bwd_impl(kernel, stride, padding, x_shape, dtype_name,
@@ -454,7 +463,10 @@ def max_pool2d(x, kernel, stride=None, padding=0, impl="xla"):
         mp = _make_max_pool_separable(kernel, stride, padding, x.shape,
                                       str(x.dtype))
     else:
-        mp = _make_max_pool(kernel, stride, padding, x.shape, str(x.dtype))
+        mp = _make_max_pool(
+            kernel, stride, padding, x.shape, str(x.dtype),
+            _erratum_class(stride, padding),
+            os.environ.get("CONVNET_TPU_POOL_BWD", ""))
     return mp(x)
 
 

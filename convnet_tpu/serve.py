@@ -23,6 +23,29 @@ from convnet_tpu.utils.absorb_bn import search_absorb_bn
 from convnet_tpu.utils.checkpoint import load_checkpoint
 
 
+def _is_torch_checkpoint(path) -> bool:
+    """Route by file CONTENT, not suffix: a framework-native ``.npz``
+    renamed to ``.pt`` must still load through ``load_checkpoint``
+    (np.load), and a torch file named oddly must go to torch.load.
+    Native checkpoints are numpy zips whose members end in ``.npy``;
+    torch zip checkpoints carry pickled ``data.pkl`` members; legacy
+    torch files are bare pickles (not zips at all)."""
+    import os
+    import zipfile
+    p = str(path)
+    if os.path.isdir(p):
+        return False
+    try:
+        with zipfile.ZipFile(p) as zf:
+            names = zf.namelist()
+        if any(n.endswith(".npy") for n in names):
+            return False  # numpy savez archive → native
+        return True  # a zip that isn't npz → torch's zipfile format
+    except zipfile.BadZipFile:
+        # not a zip: torch legacy pickle, unless the suffix says npz
+        return not p.endswith(".npz")
+
+
 class Predictor:
     def __init__(self, model_name: str, model_config: Optional[dict] = None,
                  checkpoint: Optional[str] = None, dtype: str = "bf16",
@@ -42,8 +65,7 @@ class Predictor:
         self.impl = impl or "xla"
 
         ckpt = None
-        if checkpoint and (str(checkpoint).endswith((".pth", ".pt"))
-                           or ".pth." in str(checkpoint)):
+        if checkpoint and _is_torch_checkpoint(checkpoint):
             # serve straight from a PyTorch reference checkpoint
             # (reference evaluate journey, main.py:~280 approx.)
             from convnet_tpu.utils.torch_import import load_torch_checkpoint

