@@ -209,10 +209,17 @@ class ResNet_imagenet(ResNet):
         stages = []
         inplanes = width[0]
         for i, (planes, n) in enumerate(zip(width, layers)):
+            # remat: bool (all stages) or a collection of stage names,
+            # e.g. remat=('layer1',) checkpoints only the early
+            # high-resolution blocks — activation memory concentrates
+            # there, so selective remat trades the least FLOPs for the
+            # most memory (round-2 VERDICT weak #4 / B=512 experiment)
+            stage_remat = (remat if isinstance(remat, bool)
+                           else f"layer{i + 1}" in remat)
             stage, inplanes = _make_layer(
                 block, inplanes, planes, n, stride=1 if i == 0 else 2,
                 groups=groups, se_reduction=se_reduction,
-                zero_init_residual=zero_init_residual, remat=remat)
+                zero_init_residual=zero_init_residual, remat=stage_remat)
             stages.append(stage)
         self.layers = Sequential(*stages,
                                  names=[f"layer{i+1}" for i in range(len(stages))])

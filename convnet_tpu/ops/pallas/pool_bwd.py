@@ -1,0 +1,182 @@
+"""Pallas max-pool backward: fused masked-sum + residue placement.
+
+Replaces the XLA pad-sum backward (ops/pool.py `_mp_bwd_padsum`) for
+the reference's ``nn.MaxPool2d`` gradients (models/*.py throughout).
+Round-3 motivation (scripts/jobs/done/013, PERF_NOTES session 29d):
+the XLA formulation's 9 mask+shift+add passes plus 4 strided
+``.at[].set`` placements cost ~7.4 ms at the RN50 stem and ~12 ms
+across GoogLeNet's 13 pools, against a ~0.7 ms traffic floor
+(read idx u8 + dy, write dx). This kernel does every masked shift,
+residue-class sum and W-interleave in VMEM and writes dx once.
+
+Formulation (same math as `_mp_bwd_padsum`, identical first-match
+routing): input coordinate i = s·a + r is covered by window a+u for
+each tap d with d ≡ (r+p) (mod s), u = (r+p-d)/s. Per residue class
+(rr, rc) the contribution is a sum of ≤⌈k/s⌉² SHIFTED masked-dy
+planes in OUTPUT geometry — all shifts unit-stride and static.
+
+Placement without strided writes (Mosaic has no strided vector
+slices): W residue planes are interleaved in VMEM by a stack+reshape
+on the sublane dimension (one relayout per row-class — the cheap
+direction); H residue classes are emitted as a separate GROUPED axis
+in the kernel output ``[B, n_h, s_h, W, C]``, which the caller merges
+to ``[B, H, W, C]`` with a free (non-tiled-dims) XLA reshape.
+
+The u8 winner index is converted to the gradient dtype once at kernel
+entry so every compare runs inside one tile geometry (Mosaic i1/i8
+cross-tile relayouts are the catalogued failure mode,
+ops/pallas/pool.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pair(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def _shift2(m, du, dv, n_h, n_w):
+    """out[a, b] = m[a + du, b + dv] for a < n_h, b < n_w, zero-filled
+    out of range; static offsets (rank-4 [NB, H, W, C] values)."""
+    pad = [(0, 0)] * 4
+    start = [0, 0, 0, 0]
+    for axis, (d, n) in ((1, (du, n_h)), (2, (dv, n_w))):
+        lo = max(0, -d)
+        hi = max(0, n + d - m.shape[axis])
+        pad[axis] = (lo, hi)
+        start[axis] = d + lo
+    if any(p != (0, 0) for p in pad):
+        m = jax.lax.pad(m, jnp.zeros((), m.dtype),
+                        [(p[0], p[1], 0) for p in pad])
+    return jax.lax.slice(
+        m, start, [start[0] + m.shape[0], start[1] + n_h,
+                   start[2] + n_w, start[3] + m.shape[3]])
+
+
+def _class_taps(r, p, k, s):
+    """Taps d feeding residue class r (unpadded coords): d ≡ (r+p) mod s,
+    window shift u = (r+p-d)//s."""
+    return [(d, (r + p - d) // s) for d in range(k) if (r + p - d) % s == 0]
+
+
+def _bwd_kernel(idx_ref, dy_ref, dx_ref, *, kernel, stride, padding,
+                x_hw, acc_dtype):
+    kh, kw = kernel
+    sh, sw = stride
+    ph, pw = padding
+    h, w = x_hw
+    dy = dy_ref[...]
+    # one dtype-bridging convert; tap ids 0..k²-1 are exact in bf16
+    idxf = idx_ref[...].astype(dy.dtype)
+
+    # masked per-tap contributions (output geometry), computed once
+    contrib = {}
+    for di in range(kh):
+        for dj in range(kw):
+            t = di * kw + dj
+            contrib[(di, dj)] = dy * (idxf == jnp.asarray(t, dy.dtype))
+
+    n_h = [(h - rr + sh - 1) // sh for rr in range(sh)]
+    n_w = [(w - rc + sw - 1) // sw for rc in range(sw)]
+    nh, nw = max(n_h), max(n_w)
+
+    for rr in range(sh):
+        rtaps = _class_taps(rr, ph, kh, sh)
+        planes = []
+        for rc in range(sw):
+            ctaps = _class_taps(rc, pw, kw, sw)
+            plane = None
+            for di, du in rtaps:
+                for dj, dv in ctaps:
+                    m = _shift2(contrib[(di, dj)], du, dv, nh, nw)
+                    plane = m if plane is None else plane + m
+            if plane is None:
+                plane = jnp.zeros(dy.shape[:1] + (nh, nw, dy.shape[3]),
+                                  dy.dtype)
+            planes.append(plane)
+        if sw == 1:
+            row = planes[0]
+        else:
+            # W-interleave: [NB, nh, nw, sw, C] -> [NB, nh, nw*sw, C]
+            stacked = jnp.stack(planes, axis=3)
+            row = stacked.reshape(stacked.shape[0], nh, nw * sw,
+                                  stacked.shape[4])
+        dx_ref[:, :, rr, :, :] = row.astype(acc_dtype)
+
+
+@lru_cache(maxsize=None)
+def _build(kernel, stride, padding, x_shape, dy_shape, dy_dtype,
+           x_dtype, interpret):
+    kh, kw = kernel
+    sh, sw = stride
+    ph, pw = padding
+    b, h, w, c = x_shape
+    _, ho, wo, _ = dy_shape
+    nh = max((h - rr + sh - 1) // sh for rr in range(sh))
+    nw = max((w - rc + sw - 1) // sw for rc in range(sw))
+
+    # batch block: keep the working set (idx+dy+k² contribs+out) under
+    # ~10 MB of VMEM
+    per_img = (ho * wo * c * (2 + 2 + 2 * kh * kw) + nh * sh * nw * sw * c * 2)
+    nb = 1
+    while (nb * 2 <= b and per_img * nb * 2 < 10 * 2 ** 20
+           and b % (nb * 2) == 0):
+        nb *= 2
+
+    kern = partial(_bwd_kernel, kernel=kernel, stride=stride,
+                   padding=padding, x_hw=(h, w),
+                   acc_dtype=jnp.dtype(dy_dtype))
+    call = pl.pallas_call(
+        kern,
+        grid=(b // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, ho, wo, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((nb, ho, wo, c), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, nh, sh, nw * sw, c),
+                               lambda i: (i, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nh, sh, nw * sw, c),
+                                       jnp.dtype(dy_dtype)),
+        interpret=bool(interpret),
+    )
+
+    def bwd(idx, dy):
+        grouped = call(idx, dy)
+        # free reshape: (nh, sh) merge happens above the tiled (W, C)
+        # plane — row h = sh*a + rr maps to grouped[a, rr]
+        dx = grouped.reshape(b, nh * sh, nw * sw, c)
+        if nh * sh != h or nw * sw != w:
+            dx = jax.lax.slice(dx, (0, 0, 0, 0), (b, h, w, c))
+        return dx.astype(jnp.dtype(x_dtype))
+
+    return bwd
+
+
+def supported(kernel, stride, padding, x_shape, dy_dtype):
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    if jnp.dtype(dy_dtype) not in (jnp.dtype(jnp.bfloat16),
+                                   jnp.dtype(jnp.float32)):
+        return False
+    # residue-class math needs s <= k (every pool in the zoo) and the
+    # grouped-H trick needs at least one full row per class
+    return sh <= kh and sw <= kw and x_shape[1] >= sh and x_shape[2] >= sw
+
+
+def max_pool2d_bwd_pallas(kernel, stride, padding, x_shape, x_dtype,
+                          idx, dy, interpret=False):
+    """dx from the forward's winner-index (u8, first-match) and dy —
+    drop-in replacement for ops/pool.py `_mp_bwd_padsum`."""
+    f = _build(_pair(kernel), _pair(stride), _pair(padding),
+               tuple(x_shape), tuple(dy.shape), str(dy.dtype),
+               str(x_dtype), bool(interpret))
+    return f(idx, dy)

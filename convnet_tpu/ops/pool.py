@@ -278,12 +278,26 @@ def _select_mp_bwd(bwd_kind):
     and VGG's non-overlapping 2/2/0 pools 1115 → 1156 img/s (the
     earlier interior-pad placement lost there; strided-set does not).
     The interleave formulation is kept for A/B under
-    CONVNET_TPU_POOL_BWD=interleave. ``bwd_kind`` is resolved from the
-    env at the ``max_pool2d`` call site so it participates in the
-    lru_cache key (flipping the flag mid-process takes effect)."""
+    CONVNET_TPU_POOL_BWD=interleave; CONVNET_TPU_POOL_BWD=pallas routes
+    the masked-sum + residue placement through the fused VMEM kernel
+    (ops/pallas/pool_bwd.py). ``bwd_kind`` is resolved from the env at
+    the ``max_pool2d`` call site so it participates in the lru_cache
+    key (flipping the flag mid-process takes effect)."""
     if bwd_kind == "interleave":
         return _mp_bwd_interleave
+    if bwd_kind == "pallas":
+        return _mp_bwd_pallas
     return _mp_bwd_padsum
+
+
+def _mp_bwd_pallas(kernel, stride, padding, x_shape, x_dtype, idx, dy):
+    from convnet_tpu.ops.pallas import pool_bwd as pb
+    if not pb.supported(kernel, stride, padding, x_shape, dy.dtype):
+        return _mp_bwd_padsum(kernel, stride, padding, x_shape, x_dtype,
+                              idx, dy)
+    interpret = jax.devices()[0].platform == "cpu"
+    return pb.max_pool2d_bwd_pallas(kernel, stride, padding, x_shape,
+                                    x_dtype, idx, dy, interpret=interpret)
 
 
 from functools import lru_cache

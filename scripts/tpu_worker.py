@@ -37,9 +37,17 @@ import numpy as np
 
 
 def fetch1(out):
-    """Synchronize by fetching ONE element (axon relay discipline)."""
+    """Synchronize by fetching ONE element (axon relay discipline).
+
+    The slice must happen ON DEVICE (`.ravel()[0]` on the jax array)
+    BEFORE the host fetch — np.asarray(device_array) ships the whole
+    buffer over the ~67 MB/s relay (a [256,56,56,480] bf16 gradient is
+    771 MB ≈ 11.5 s, the bug behind job 015's garbage timings)."""
     leaves = jax.tree_util.tree_leaves(out)
-    return float(np.asarray(leaves[0]).ravel()[0])
+    x = leaves[0]
+    if hasattr(x, "ravel"):
+        x = x.ravel()[0]
+    return float(x)
 
 
 def make_timeit():

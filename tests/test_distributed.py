@@ -331,3 +331,28 @@ def test_zero1_sharded_optimizer_matches_replicated():
     assert len(mu.sharding.device_set) == 8
     shard_sizes = {s.data.shape[0] for s in mu.addressable_shards}
     assert shard_sizes == {mu.shape[0] // 8}
+
+
+def test_calibrate_bn_on_mesh_equals_single_device():
+    """Mesh calibrate_bn (round-2 VERDICT weak #5): sharding the
+    calibration batch over the data axis and pmean-ing the moments
+    must reproduce the single-device full-batch result."""
+    model = models.build("resnet", dataset="cifar10", depth=20)
+    optim = OptimRegime(model.regime)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x, y = _batch(16)
+    loader = [(x, y), (x * 0.5 + 0.1, y)]
+
+    tr1 = Trainer(model, optim, 10, TrainerConfig(print_freq=0))
+    ref = tr1.calibrate_bn(loader, params, state, num_steps=2)
+
+    tr8 = Trainer(model, optim, 10, TrainerConfig(print_freq=0),
+                  mesh=make_mesh(8))
+    got = tr8.calibrate_bn(loader, params, state, num_steps=2)
+
+    ref_l, treedef = jax.tree_util.tree_flatten(ref)
+    got_l, treedef2 = jax.tree_util.tree_flatten(got)
+    assert treedef == treedef2
+    for a, b in zip(ref_l, got_l):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

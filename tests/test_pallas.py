@@ -181,3 +181,35 @@ def test_pallas_mobilenet_grads_match_xla():
                                    np.asarray(a) / denom,
                                    rtol=0, atol=5e-3, err_msg=str(path_a))
     os.environ.pop("CONVNET_TPU_PALLAS_DEPTHWISE", None)
+
+
+@pytest.mark.parametrize("k,s,p,shape", [
+    (3, 2, 1, (2, 16, 16, 8)),    # stem-style overlapping
+    (3, 2, 1, (2, 15, 15, 8)),    # odd spatial
+    (2, 2, 0, (2, 16, 16, 8)),    # VGG non-overlapping
+    (3, 1, 1, (2, 14, 14, 8)),    # GoogLeNet branch pool (stride 1)
+    (3, 2, 0, (2, 13, 13, 8)),    # AlexNet-style
+    (5, 1, 2, (2, 9, 9, 8)),      # inception 5x5
+    ((3, 2), (2, 1), (1, 0), (2, 12, 11, 8)),  # asymmetric
+])
+def test_pallas_pool_bwd_exact_vs_padsum(k, s, p, shape, monkeypatch):
+    """Fused VMEM masked-sum backward (ops/pallas/pool_bwd.py) must
+    route gradients identically to the pad-sum formulation, including
+    first-match tie-breaking (quantized inputs force ties). Measured
+    model-level NEUTRAL on v5e (scripts/jobs/done/016) — kept as the
+    exact opt-in formulation for backends with weaker fusion."""
+    from convnet_tpu.ops import pool as P
+
+    x = jnp.asarray(np.random.default_rng(0).integers(-3, 4, shape),
+                    jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(
+        np.asarray(P.max_pool2d(x, k, s, p)).shape), jnp.float32)
+
+    def gsum(x_):
+        return jnp.sum(P.max_pool2d(x_, k, s, p) * w)
+
+    monkeypatch.delenv("CONVNET_TPU_POOL_BWD", raising=False)
+    g_ref = jax.grad(gsum)(x)
+    monkeypatch.setenv("CONVNET_TPU_POOL_BWD", "pallas")
+    g_pl = jax.grad(gsum)(x)
+    np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_pl))
