@@ -147,6 +147,43 @@ class DataLoader:
         blob_mode = (hasattr(self.dataset, "read_blobs")
                      and hasattr(self.dataset, "decode"))
 
+        # full-native path: tar-backed JPEG dataset + a host transform
+        # the C++ pipeline expresses (RandomResizedCrop / center-crop,
+        # no autoaugment/multicrop/duplicates) → one GIL-free
+        # pread+decode+crop+resize call per batch (native/jpegdec.cpp);
+        # per-sample PIL fallback for undecodable members.
+        spec = getattr(self.transform, "native_spec", None)
+        native_mode = False
+        if (spec is not None and dup == 1
+                and hasattr(self.dataset, "tar_path")
+                and hasattr(self.dataset, "offsets")):
+            from convnet_tpu.data import native as _native
+            native_mode = _native.jpeg_available()
+
+        def native_batch(b, idx):
+            from convnet_tpu.data import native as _native
+            idx = np.asarray(idx, np.int64)
+            xs, fail = _native.decode_batch(
+                self.dataset.tar_path,
+                self.dataset.offsets[idx], self.dataset.sizes[idx],
+                train=(spec["kind"] == "rrc"),
+                out_size=spec["out_size"],
+                scale_size=spec.get("scale_size", 0),
+                seed=hash((self.seed, self.epoch, b)) & (2 ** 63 - 1),
+                scale=spec.get("scale", (0.08, 1.0)),
+                ratio=spec.get("ratio", (3 / 4, 4 / 3)),
+                threads=self.num_workers)
+            if fail.any():
+                import random as _random
+                for j in np.nonzero(fail)[0]:
+                    i = int(idx[j])
+                    rng = _random.Random(
+                        hash((self.seed, self.epoch, i)) & 0x7FFFFFFF)
+                    sample, _ = self.dataset[i]
+                    xs[j] = self.transform.host(sample, rng, 0)
+            ys = np.asarray(self.dataset.labels[idx], np.int32)
+            return xs, ys
+
         # IO/decode overlap: a dedicated reader thread keeps a bounded
         # queue of raw-blob batches ahead of the decoder, so archive
         # pread (GIL-free in the native pool) for batch k+1 runs while
@@ -167,7 +204,7 @@ class DataLoader:
             except Exception as e:
                 blob_q.put(e)
 
-        if blob_mode:
+        if blob_mode and not native_mode:
             threading.Thread(target=read_ahead, daemon=True).start()
 
         def assemble():
@@ -175,6 +212,11 @@ class DataLoader:
                 for b in range(num_batches):
                     if stop.is_set():
                         return
+                    if native_mode:
+                        idx = shard[b * self.batch_size:
+                                    (b + 1) * self.batch_size]
+                        out_q.put(native_batch(b, idx))
+                        continue
                     if blob_mode:
                         item = blob_q.get()
                         if isinstance(item, Exception):

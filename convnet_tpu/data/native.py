@@ -110,3 +110,84 @@ def batch_read(path: str, offsets, sizes, threads: int = 8):
     if rc != 0:
         return None
     return [dst[o:o + s].tobytes() for o, s in zip(dst_offsets, sizes)]
+
+
+# ------------------------------------------------------------ jpegdec
+
+_JPEG_LIB_PATH = os.path.abspath(
+    os.path.join(_NATIVE_DIR, "libconvnet_jpegdec.so"))
+_jpeg_lib = None
+_jpeg_build_attempted = False
+
+
+def _load_jpeg():
+    """libconvnet_jpegdec.so: GIL-free pread + libjpeg decode +
+    crop/resize batch pipeline (native/jpegdec.cpp)."""
+    global _jpeg_lib, _jpeg_build_attempted
+    with _lib_lock:
+        if _jpeg_lib is not None:
+            return _jpeg_lib
+        if not os.path.exists(_JPEG_LIB_PATH) and not _jpeg_build_attempted:
+            _jpeg_build_attempted = True
+            try:
+                subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                               check=True, capture_output=True, timeout=120)
+            except Exception as e:  # no toolchain/libjpeg → PIL fallback
+                log.debug("native jpegdec build failed: %s", e)
+                return None
+        if not os.path.exists(_JPEG_LIB_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_JPEG_LIB_PATH)
+        except OSError as e:  # libjpeg missing at runtime
+            log.debug("native jpegdec load failed: %s", e)
+            return None
+        lib.ctpu_decode_batch.restype = ctypes.c_int64
+        lib.ctpu_decode_batch.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int]
+        _jpeg_lib = lib
+        return _jpeg_lib
+
+
+def jpeg_available() -> bool:
+    return _load_jpeg() is not None
+
+
+def decode_batch(tar_path: str, offsets, sizes, *, train: bool,
+                 out_size: int = 224, scale_size: int = 0,
+                 seed: int = 0, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                 threads: int = 8):
+    """Decode + transform a batch of JPEG members straight out of the
+    tar: RandomResizedCrop (train) or shorter-side scale + center crop
+    (eval). Returns (uint8 [n, out, out, 3], fail_mask bool[n]) or
+    None when the native path is unavailable. Failed decodes are
+    zero-filled with fail_mask set — the caller re-decodes those via
+    PIL."""
+    lib = _load_jpeg()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    n = len(offsets)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    fail = np.empty(n, np.uint8)
+    got = lib.ctpu_decode_batch(
+        tar_path.encode(),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, 0 if train else 1, out_size, scale_size,
+        ctypes.c_uint64(seed & (2 ** 64 - 1)),
+        float(scale[0]), float(scale[1]), float(ratio[0]), float(ratio[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        fail.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        threads)
+    if got < 0:
+        return None
+    return out, fail.astype(bool)

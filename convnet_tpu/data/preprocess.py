@@ -52,6 +52,12 @@ class Transform:
     device: Callable      # (key, uint8 batch) -> float32 batch (jitted)
     input_size: int
     duplicates: int = 1
+    # When the host transform is expressible by the native C++ decode
+    # pipeline (native/jpegdec.cpp), its parameters: {"kind": "rrc"|
+    # "center", "out_size": int, "scale_size": int, "scale": (lo, hi),
+    # "ratio": (lo, hi)}. None → PIL path only (autoaugment, multicrop,
+    # array datasets).
+    native_spec: dict = None
 
     def __post_init__(self):
         self.device = jax.jit(self.device)
@@ -212,6 +218,7 @@ def get_transform(transform_name: str = "imagenet",
 
     # imagenet-style
     size = input_size or 224
+    native_spec = None
     if augment:
         policy = None
         if autoaugment:
@@ -219,6 +226,10 @@ def get_transform(transform_name: str = "imagenet",
             policy = ImageNetPolicy()
         host = partial(inception_host, out_size=size,
                        autoaugment_policy=policy)
+        if policy is None:
+            native_spec = {"kind": "rrc", "out_size": size,
+                           "scale_size": 0, "scale": (0.08, 1.0),
+                           "ratio": (3 / 4, 4 / 3)}
 
         def device_fn(key, batch):
             x = T.to_float(batch)
@@ -235,8 +246,12 @@ def get_transform(transform_name: str = "imagenet",
     else:
         host_fn = multicrop_host if (multicrop and duplicates > 1) else scale_crop_host
         host = partial(host_fn, out_size=size, scale_size=scale_size)
+        if host_fn is scale_crop_host:
+            native_spec = {"kind": "center", "out_size": size,
+                           "scale_size": scale_size or 0}
 
         def device_fn(key, batch):
             return T.normalize(T.to_float(batch), mean, std)
 
-    return Transform(host, device_fn, size, duplicates)
+    return Transform(host, device_fn, size, duplicates,
+                     native_spec=native_spec)

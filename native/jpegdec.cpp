@@ -1,0 +1,292 @@
+// convnet_tpu native JPEG decode + crop/resize pipeline.
+//
+// Replaces the DECODE half of the reference's DataLoader worker
+// processes (data.py workers: read file → PIL decode → transform —
+// SURVEY.md §3.4). The Python threaded loader tops out at the
+// single-core PIL rate once the GIL serializes sample assembly
+// (measured 208 img/s/core on this container,
+// scripts/session_r3_loader_results.txt); this library runs the whole
+// per-sample path — pread from the indexed tar, libjpeg decode,
+// RandomResizedCrop (train) or shorter-side-scale + center-crop
+// (eval), triangle-filter resampling like PIL's BILINEAR — inside a
+// C++ thread pool, GIL-free, emitting a ready uint8 NHWC batch.
+// Horizontal flip and normalization stay in the jitted device
+// transform (data/preprocess.py device_fn), as in the Python path.
+//
+// C ABI for ctypes (no pybind11 in this image). Build: Makefile →
+// libconvnet_jpegdec.so. Python wrapper: convnet_tpu/data/native.py
+// (PIL fallback when the library or libjpeg is absent).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <csetjmp>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <unistd.h>
+
+#include <jpeglib.h>
+
+namespace {
+
+// ---------------------------------------------------------------- RNG
+// Deterministic per-sample generator: splitmix64 streams keyed by
+// (seed, sample index) — stable across thread schedules.
+struct Rng {
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed) {}
+  uint64_t next() {
+    s += 0x9e3779b97f4a7c15ull;
+    uint64_t z = s;
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+    return z ^ (z >> 31);
+  }
+  double uniform() { return (next() >> 11) * (1.0 / 9007199254740992.0); }
+  // uniform integer in [0, n]
+  int64_t randint(int64_t n) {
+    return n <= 0 ? 0 : (int64_t)(next() % (uint64_t)(n + 1));
+  }
+};
+
+// ------------------------------------------------------- jpeg decode
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+// Decode a JPEG byte blob to RGB8. Returns true on success; the pixel
+// buffer (h*w*3) is appended to `out`.
+bool decode_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
+                int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  out->resize((size_t)(*w) * (*h) * 3);
+  JSAMPROW row;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    row = out->data() + (size_t)cinfo.output_scanline * (*w) * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ------------------------------------------- triangle-filter resize
+// Separable resampling with a triangle (linear) kernel whose support
+// scales with the downscale factor — PIL Image.BILINEAR semantics —
+// over a source RECTANGLE (the crop box), fused so the crop is never
+// materialized.
+struct Taps {
+  std::vector<int> start;     // first source index per output pixel
+  std::vector<int> count;     // taps per output pixel
+  std::vector<float> weight;  // flattened weights
+  std::vector<int> woff;      // offset into weight per output pixel
+};
+
+void build_taps(double src0, double src1, int src_limit, int out_n,
+                Taps* t) {
+  double scale = (src1 - src0) / out_n;
+  double support = std::max(1.0, scale);
+  t->start.resize(out_n);
+  t->count.resize(out_n);
+  t->woff.resize(out_n);
+  t->weight.clear();
+  for (int i = 0; i < out_n; ++i) {
+    double center = src0 + (i + 0.5) * scale;
+    int lo = (int)std::floor(center - support);
+    int hi = (int)std::ceil(center + support);
+    lo = std::max(lo, 0);
+    hi = std::min(hi, src_limit);
+    if (hi <= lo) {
+      lo = std::min(std::max((int)center, 0), src_limit - 1);
+      hi = lo + 1;
+    }
+    t->start[i] = lo;
+    t->woff[i] = (int)t->weight.size();
+    double total = 0.0;
+    for (int k = lo; k < hi; ++k) {
+      double d = (k + 0.5 - center) / support;
+      double wgt = 1.0 - std::fabs(d);
+      if (wgt < 0) wgt = 0;
+      t->weight.push_back((float)wgt);
+      total += wgt;
+    }
+    t->count[i] = hi - lo;
+    if (total > 0) {
+      for (int k = 0; k < t->count[i]; ++k)
+        t->weight[t->woff[i] + k] = (float)(t->weight[t->woff[i] + k] / total);
+    }
+  }
+}
+
+// Resize the box [x0,x1)x[y0,y1) of src (h x w x 3) to out_n x out_n.
+void resize_box(const uint8_t* src, int w, int h, double x0, double y0,
+                double x1, double y1, int out_n, uint8_t* dst) {
+  Taps tx, ty;
+  build_taps(x0, x1, w, out_n, &tx);
+  build_taps(y0, y1, h, out_n, &ty);
+  // horizontal pass over the source rows the vertical taps touch
+  int row_lo = ty.start[0];
+  int row_hi = ty.start[out_n - 1] + ty.count[out_n - 1];
+  int rows = row_hi - row_lo;
+  std::vector<float> tmp((size_t)rows * out_n * 3);
+  for (int r = 0; r < rows; ++r) {
+    const uint8_t* srow = src + (size_t)(row_lo + r) * w * 3;
+    float* trow = tmp.data() + (size_t)r * out_n * 3;
+    for (int i = 0; i < out_n; ++i) {
+      float acc0 = 0, acc1 = 0, acc2 = 0;
+      const float* wp = tx.weight.data() + tx.woff[i];
+      const uint8_t* sp = srow + (size_t)tx.start[i] * 3;
+      for (int k = 0; k < tx.count[i]; ++k) {
+        float wgt = wp[k];
+        acc0 += wgt * sp[0];
+        acc1 += wgt * sp[1];
+        acc2 += wgt * sp[2];
+        sp += 3;
+      }
+      trow[i * 3 + 0] = acc0;
+      trow[i * 3 + 1] = acc1;
+      trow[i * 3 + 2] = acc2;
+    }
+  }
+  // vertical pass
+  for (int j = 0; j < out_n; ++j) {
+    uint8_t* drow = dst + (size_t)j * out_n * 3;
+    const float* wp = ty.weight.data() + ty.woff[j];
+    int base = ty.start[j] - row_lo;
+    for (int i = 0; i < out_n * 3; ++i) {
+      float acc = 0;
+      for (int k = 0; k < ty.count[j]; ++k)
+        acc += wp[k] * tmp[(size_t)(base + k) * out_n * 3 + i];
+      int v = (int)std::lround(acc);
+      drow[i] = (uint8_t)std::min(std::max(v, 0), 255);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + transform a batch of JPEG blobs from `tar_path`.
+//   mode 0: RandomResizedCrop(out_size, scale=[scale_lo,scale_hi],
+//           ratio=[ratio_lo,ratio_hi]) — train path (no flip: the
+//           device transform flips).
+//   mode 1: resize shorter side to scale_size, center-crop out_size —
+//           eval path.
+// out: n * out_size * out_size * 3 uint8, HWC.
+// Returns number of successfully decoded samples; failed decodes
+// leave zeros and set fail_mask[i]=1 (caller falls back to PIL).
+int64_t ctpu_decode_batch(const char* tar_path, const int64_t* offsets,
+                          const int64_t* sizes, int64_t n, int mode,
+                          int out_size, int scale_size, uint64_t seed,
+                          double scale_lo, double scale_hi,
+                          double ratio_lo, double ratio_hi,
+                          uint8_t* out, uint8_t* fail_mask,
+                          int nthreads) {
+  int fd = open(tar_path, O_RDONLY);
+  if (fd < 0) return -1;
+  if (nthreads < 1) nthreads = 1;
+  std::atomic<int64_t> next_idx{0}, ok_count{0};
+  size_t plane = (size_t)out_size * out_size * 3;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> blob, pix;
+    while (true) {
+      int64_t i = next_idx.fetch_add(1);
+      if (i >= n) return;
+      fail_mask[i] = 1;
+      blob.resize(sizes[i]);
+      ssize_t got = pread(fd, blob.data(), sizes[i], offsets[i]);
+      if (got != (ssize_t)sizes[i]) continue;
+      int w = 0, h = 0;
+      if (!decode_rgb(blob.data(), blob.size(), &pix, &w, &h)) continue;
+      uint8_t* dst = out + (size_t)i * plane;
+      if (mode == 0) {
+        Rng rng(seed * 0x9e3779b97f4a7c15ull + (uint64_t)i);
+        double area = (double)w * h;
+        bool done = false;
+        for (int attempt = 0; attempt < 10 && !done; ++attempt) {
+          double target = (scale_lo + rng.uniform() * (scale_hi - scale_lo))
+                          * area;
+          double aspect = std::exp(std::log(ratio_lo) + rng.uniform()
+                                   * (std::log(ratio_hi) - std::log(ratio_lo)));
+          int bw = (int)std::lround(std::sqrt(target * aspect));
+          int bh = (int)std::lround(std::sqrt(target / aspect));
+          if (bw <= w && bh <= h && bw > 0 && bh > 0) {
+            int x0 = (int)rng.randint(w - bw);
+            int y0 = (int)rng.randint(h - bh);
+            resize_box(pix.data(), w, h, x0, y0, x0 + bw, y0 + bh,
+                       out_size, dst);
+            done = true;
+          }
+        }
+        if (!done) {  // fallback: shorter-side scale + center crop
+          int ss = out_size * 256 / 224;
+          double sc = (double)ss / std::min(w, h);
+          double nw = w * sc, nh = h * sc;
+          double cx0 = (nw - out_size) / 2 / sc, cy0 = (nh - out_size) / 2 / sc;
+          resize_box(pix.data(), w, h, cx0, cy0, cx0 + out_size / sc,
+                     cy0 + out_size / sc, out_size, dst);
+        }
+      } else {
+        // Mirror preprocess.scale_center EXACTLY (PIL semantics):
+        // integer resized dims via truncation, integer center-crop
+        // origin, then express the crop as a box resize in source
+        // coordinates — output pixel i maps to source center
+        // (x0 + i + 0.5) * w / nw, identical to PIL's taps, so the
+        // result is bitwise-equal to the Python path.
+        int ss = scale_size > 0 ? scale_size : out_size * 256 / 224;
+        int nw, nh;
+        if (w < h) {
+          nw = ss;
+          nh = (int)((double)h * ss / w);
+        } else {
+          nw = (int)((double)w * ss / h);
+          nh = ss;
+        }
+        int x0 = (nw - out_size) / 2;
+        int y0 = (nh - out_size) / 2;
+        double sx = (double)w / nw, sy = (double)h / nh;
+        resize_box(pix.data(), w, h, x0 * sx, y0 * sy,
+                   (x0 + out_size) * sx, (y0 + out_size) * sy,
+                   out_size, dst);
+      }
+      fail_mask[i] = 0;
+      ok_count.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nthreads - 1; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  close(fd);
+  return ok_count.load();
+}
+
+}  // extern "C"

@@ -103,3 +103,36 @@ def main(tar_path="/tmp/synth_imagenet.tar"):
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])
+
+
+def native_bench(tar_path="/tmp/synth_imagenet.tar"):
+    """Native C++ decode pipeline vs the PIL thread pool."""
+    from convnet_tpu.data.datasets import IndexedTarDataset
+    from convnet_tpu.data.loader import DataLoader
+    from convnet_tpu.data.preprocess import get_transform
+    from convnet_tpu.data import native
+
+    ds = IndexedTarDataset(tar_path)
+    log(f"native jpeg available: {native.jpeg_available()}")
+    idx = np.arange(256)
+    for threads in (1, 4, 8):
+        t0 = time.time()
+        for _ in range(4):
+            out, fail = native.decode_batch(
+                tar_path, ds.offsets[idx], ds.sizes[idx], train=True,
+                out_size=224, seed=1, threads=threads)
+        dt = (time.time() - t0) / 4
+        log(f"native decode+RRC threads={threads}: "
+            f"{len(idx)/dt:.0f} img/s (fails {int(fail.sum())})")
+
+    tfm = get_transform("imagenet", input_size=224, augment=True)
+    dl = DataLoader(ds, batch_size=64, transform=tfm, shuffle=True,
+                    num_workers=8, device_transform=False)
+    it = iter(dl)
+    next(it)
+    t0 = time.time()
+    n = 0
+    for _ in range(12):
+        batch = next(it)
+        n += len(batch[1])
+    log(f"DataLoader end-to-end (native path): {n/(time.time()-t0):.0f} img/s")
