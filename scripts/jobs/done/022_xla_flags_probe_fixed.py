@@ -28,7 +28,6 @@ CANDIDATES = [
     {"xla_latency_hiding_scheduler_rerun": "2"},
     {"xla_tpu_licm_size_inflation_ratio": "2.0"},
     {"xla_tpu_async_copy_bandwidth_scaling_factor": "2.0"},
-    {"xla_tpu_copy_with_multiple_strategies_enabled": "true"},
     {"xla_tpu_memory_bound_loop_optimizer_options": "enabled:true"},
 ]
 

@@ -473,3 +473,79 @@ def test_import_googlenet_aux_checkpoint_into_aux_model():
                            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                            train=False)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+# -------------------------------------------------------- DenseNet
+
+
+def test_import_densenet_logits_parity():
+    """DenseNet classifier follows GlobalAvgPool with in_features
+    (2*ch at the end of the dense blocks) different from the last
+    dense layer's growth channels — the second ADVICE round-2 case for
+    the conv-to-flatten permutation gating. Small config for speed."""
+    rng = np.random.default_rng(10)
+    growth, cfg = 8, [2, 3]
+
+    class TDenseLayer(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.norm1 = nn.BatchNorm2d(cin)
+            self.conv1 = nn.Conv2d(cin, 4 * growth, 1, bias=False)
+            self.norm2 = nn.BatchNorm2d(4 * growth)
+            self.conv2 = nn.Conv2d(4 * growth, growth, 3, 1, 1, bias=False)
+
+        def forward(self, x):
+            y = self.conv1(torch.relu(self.norm1(x)))
+            y = self.conv2(torch.relu(self.norm2(y)))
+            return torch.cat([x, y], 1)
+
+    class TTransition(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.norm = nn.BatchNorm2d(cin)
+            self.conv = nn.Conv2d(cin, cout, 1, bias=False)
+
+        def forward(self, x):
+            return nn.functional.avg_pool2d(
+                self.conv(torch.relu(self.norm(x))), 2, 2)
+
+    class TDenseNet(nn.Module):
+        def __init__(self, classes=9):
+            super().__init__()
+            ch = 2 * growth
+            self.conv0 = nn.Conv2d(3, ch, 7, 2, 3, bias=False)
+            self.norm0 = nn.BatchNorm2d(ch)
+            blocks = []
+            for i, n in enumerate(cfg):
+                for _ in range(n):
+                    blocks.append(TDenseLayer(ch))
+                    ch += growth
+                if i != len(cfg) - 1:
+                    blocks.append(TTransition(ch, ch // 2))
+                    ch //= 2
+            self.blocks = nn.Sequential(*blocks)
+            self.norm5 = nn.BatchNorm2d(ch)
+            self.classifier = nn.Linear(ch, classes)
+
+        def forward(self, x):
+            x = nn.functional.max_pool2d(
+                torch.relu(self.norm0(self.conv0(x))), 3, 2, 1)
+            x = self.blocks(x)
+            x = torch.relu(self.norm5(x))
+            return self.classifier(x.mean(dim=(2, 3)))
+
+    tm = TDenseNet()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    model = models.build("densenet", num_classes=9, growth=growth,
+                         block_config=cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = import_torch_state_dict(tm.state_dict(), model,
+                                            params, state)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
