@@ -15,17 +15,16 @@ each tap d with d ≡ (r+p) (mod s), u = (r+p-d)/s. Per residue class
 (rr, rc) the contribution is a sum of ≤⌈k/s⌉² SHIFTED masked-dy
 planes in OUTPUT geometry — all shifts unit-stride and static.
 
-Placement without strided writes (Mosaic has no strided vector
-slices): W residue planes are interleaved in VMEM by a stack+reshape
-on the sublane dimension (one relayout per row-class — the cheap
-direction); H residue classes are emitted as a separate GROUPED axis
-in the kernel output ``[B, n_h, s_h, W, C]``, which the caller merges
-to ``[B, H, W, C]`` with a free (non-tiled-dims) XLA reshape.
-
-The u8 winner index is converted to the gradient dtype once at kernel
-entry so every compare runs inside one tile geometry (Mosaic i1/i8
-cross-tile relayouts are the catalogued failure mode,
-ops/pallas/pool.py).
+Placement: Mosaic (jobs 033/035) rejects strided vector slices, the
+stack+reshape interleave (`tpu.reshape` inserting a unit dim is an
+"unsupported shape cast"), in-kernel uint8→bf16 casts AND bool→bf16
+converts — so the kernel emits one rank-5 block
+``[B, n_h, s_h·s_w, n_w, C]`` with a plane per residue class (static
+rank-5 writes are supported), masks with ``jnp.where`` (native pred
+select), receives the winner index pre-converted to the gradient
+dtype by XLA, and leaves the final disjoint strided ``.at[].set``
+placement to XLA (stride-1 pools — GoogLeNet's branch pools — have a
+single class and skip placement entirely).
 """
 
 from __future__ import annotations
@@ -69,29 +68,40 @@ def _class_taps(r, p, k, s):
 
 
 def _bwd_kernel(idx_ref, dy_ref, dx_ref, *, kernel, stride, padding,
-                x_hw, acc_dtype):
+                x_hw):
+    """dx_ref: [NB, nh, n_cls, nw, C] — one plane per residue class
+    (cls = rr*sw + rc), written with static rank-5 indexing (Mosaic
+    accepts static writes into a rank-5 block; it rejects the
+    stack+reshape interleave and bool->bf16 converts — see
+    scripts/jobs/done/035_mosaic_bisect.out)."""
     kh, kw = kernel
     sh, sw = stride
     ph, pw = padding
     h, w = x_hw
     dy = dy_ref[...]
-    # one dtype-bridging convert; tap ids 0..k²-1 are exact in bf16
-    idxf = idx_ref[...].astype(dy.dtype)
+    idxf = idx_ref[...]
+    zero = jnp.zeros((), dy.dtype)
 
-    # masked per-tap contributions (output geometry), computed once
+    # masked per-tap contributions (output geometry), computed once.
+    # Mosaic rejects bf16 compares outright (arith.cmpf on the packed
+    # (8,128,2) bf16 layout -> i1, job 039), so the {0,1} indicator is
+    # computed ARITHMETICALLY: for integer-valued idx and tap id t,
+    # max(0, 1-(idx-t)²) is exactly 1 at idx==t and 0 otherwise
+    # (tap ids ≤ 24, all squares exact in bf16).
+    one = jnp.ones((), dy.dtype)
     contrib = {}
     for di in range(kh):
         for dj in range(kw):
             t = di * kw + dj
-            contrib[(di, dj)] = dy * (idxf == jnp.asarray(t, dy.dtype))
+            delta = idxf - jnp.asarray(t, idxf.dtype)
+            ind = jnp.maximum(one - delta * delta, zero)
+            contrib[(di, dj)] = dy * ind
 
-    n_h = [(h - rr + sh - 1) // sh for rr in range(sh)]
-    n_w = [(w - rc + sw - 1) // sw for rc in range(sw)]
-    nh, nw = max(n_h), max(n_w)
+    nh = max((h - rr + sh - 1) // sh for rr in range(sh))
+    nw = max((w - rc + sw - 1) // sw for rc in range(sw))
 
     for rr in range(sh):
         rtaps = _class_taps(rr, ph, kh, sh)
-        planes = []
         for rc in range(sw):
             ctaps = _class_taps(rc, pw, kw, sw)
             plane = None
@@ -102,15 +112,7 @@ def _bwd_kernel(idx_ref, dy_ref, dx_ref, *, kernel, stride, padding,
             if plane is None:
                 plane = jnp.zeros(dy.shape[:1] + (nh, nw, dy.shape[3]),
                                   dy.dtype)
-            planes.append(plane)
-        if sw == 1:
-            row = planes[0]
-        else:
-            # W-interleave: [NB, nh, nw, sw, C] -> [NB, nh, nw*sw, C]
-            stacked = jnp.stack(planes, axis=3)
-            row = stacked.reshape(stacked.shape[0], nh, nw * sw,
-                                  stacked.shape[4])
-        dx_ref[:, :, rr, :, :] = row.astype(acc_dtype)
+            dx_ref[:, :, rr * sw + rc, :, :] = plane
 
 
 @lru_cache(maxsize=None)
@@ -123,18 +125,19 @@ def _build(kernel, stride, padding, x_shape, dy_shape, dy_dtype,
     _, ho, wo, _ = dy_shape
     nh = max((h - rr + sh - 1) // sh for rr in range(sh))
     nw = max((w - rc + sw - 1) // sw for rc in range(sw))
+    n_cls = sh * sw
 
     # batch block: keep the working set (idx+dy+k² contribs+out) under
     # ~10 MB of VMEM
-    per_img = (ho * wo * c * (2 + 2 + 2 * kh * kw) + nh * sh * nw * sw * c * 2)
+    per_img = (ho * wo * c * (2 + 2 + 2 * kh * kw)
+               + nh * n_cls * nw * c * 2)
     nb = 1
     while (nb * 2 <= b and per_img * nb * 2 < 10 * 2 ** 20
            and b % (nb * 2) == 0):
         nb *= 2
 
     kern = partial(_bwd_kernel, kernel=kernel, stride=stride,
-                   padding=padding, x_hw=(h, w),
-                   acc_dtype=jnp.dtype(dy_dtype))
+                   padding=padding, x_hw=(h, w))
     call = pl.pallas_call(
         kern,
         grid=(b // nb,),
@@ -142,26 +145,44 @@ def _build(kernel, stride, padding, x_shape, dy_shape, dy_dtype,
             pl.BlockSpec((nb, ho, wo, c), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((nb, ho, wo, c), lambda i: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((nb, nh, sh, nw * sw, c),
+        out_specs=pl.BlockSpec((nb, nh, n_cls, nw, c),
                                lambda i: (i, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nh, sh, nw * sw, c),
+        out_shape=jax.ShapeDtypeStruct((b, nh, n_cls, nw, c),
                                        jnp.dtype(dy_dtype)),
         interpret=bool(interpret),
     )
 
     def bwd(idx, dy):
-        grouped = call(idx, dy)
-        # free reshape: (nh, sh) merge happens above the tiled (W, C)
-        # plane — row h = sh*a + rr maps to grouped[a, rr]
-        dx = grouped.reshape(b, nh * sh, nw * sw, c)
-        if nh * sh != h or nw * sw != w:
-            dx = jax.lax.slice(dx, (0, 0, 0, 0), (b, h, w, c))
+        grouped = call(idx.astype(dy.dtype), dy)
+        if n_cls == 1:
+            dx = grouped[:, :, 0, :, :]
+            if nh != h or nw != w:
+                dx = jax.lax.slice(dx, (0, 0, 0, 0), (b, h, w, c))
+            return dx.astype(jnp.dtype(x_dtype))
+        # residue placement in XLA: classes are disjoint strided sets
+        dx = jnp.zeros((b, h, w, c), grouped.dtype)
+        for rr in range(sh):
+            n_h = (h - rr + sh - 1) // sh
+            for rc in range(sw):
+                n_w = (w - rc + sw - 1) // sw
+                plane = grouped[:, :n_h, rr * sw + rc, :n_w, :]
+                dx = dx.at[:, rr::sh, rc::sw, :].set(plane)
         return dx.astype(jnp.dtype(x_dtype))
 
     return bwd
 
 
 def supported(kernel, stride, padding, x_shape, dy_dtype):
+    """EXPERIMENTAL formulation status (round-3 hardware campaign,
+    scripts/jobs/done/036-040): after working around every Mosaic
+    limitation (no strided slices, no stack+reshape interleave, no
+    u8→bf16 casts, no bf16 compares), the kernel compiles and is
+    bit-exact at some shapes (28²×480: maxerr 0) but still crashes the
+    Mosaic compiler at others (112²×64, 14²×528) and runs ~3.5× slower
+    than the XLA pad-sum path where it does compile — consistent with
+    every Pallas-pool datapoint since round 1 (relayout costs dominate
+    on this backend). Default-off; exactness is regression-tested in
+    interpret mode for backends with weaker window fusion."""
     kh, kw = _pair(kernel)
     sh, sw = _pair(stride)
     if jnp.dtype(dy_dtype) not in (jnp.dtype(jnp.bfloat16),

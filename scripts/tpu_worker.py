@@ -75,6 +75,19 @@ def run_job(path):
         outf.write(line + "\n")
         outf.flush()
 
+    # Always execute against the CURRENT repo code: the worker process
+    # is long-lived, and module caching made jobs 014-023 run with the
+    # convnet_tpu tree as it stood at the FIRST job's import — A/B
+    # arms compared stale code against itself. Purge before each job.
+    for mod in list(sys.modules):
+        if mod.startswith("convnet_tpu") or mod == "bench":
+            del sys.modules[mod]
+    # A crashing job must not leak its env toggles into the next one
+    # (job 033 left CONVNET_TPU_POOL_BWD=pallas set, breaking job 034).
+    for key in list(os.environ):
+        if key.startswith("CONVNET_TPU_"):
+            del os.environ[key]
+
     src = open(path).read()
     ns = {
         "__name__": "__tpu_job__",
