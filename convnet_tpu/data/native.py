@@ -191,3 +191,46 @@ def decode_batch(tar_path: str, offsets, sizes, *, train: bool,
     if got < 0:
         return None
     return out, fail.astype(bool)
+
+
+def decode_blobs(blobs, *, train: bool = False, out_size: int = 224,
+                 scale_size: int = 0, seed: int = 0,
+                 scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3), threads: int = 8):
+    """In-memory variant of :func:`decode_batch` for loose JPEG bytes
+    (serving path). Returns (uint8 [n, out, out, 3], fail_mask) or
+    None when the native library is unavailable."""
+    lib = _load_jpeg()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_mem_configured"):
+        lib.ctpu_decode_batch_mem.restype = ctypes.c_int64
+        lib.ctpu_decode_batch_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int]
+        lib._mem_configured = True
+    sizes = np.asarray([len(b) for b in blobs], np.int64)
+    offsets = np.zeros(len(blobs), np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    base = np.frombuffer(b"".join(blobs), np.uint8)
+    n = len(blobs)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    fail = np.empty(n, np.uint8)
+    got = lib.ctpu_decode_batch_mem(
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, 0 if train else 1, out_size, scale_size,
+        ctypes.c_uint64(seed & (2 ** 64 - 1)),
+        float(scale[0]), float(scale[1]), float(ratio[0]), float(ratio[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        fail.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        threads)
+    if got < 0:
+        return None
+    return out, fail.astype(bool)

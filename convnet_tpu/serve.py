@@ -146,3 +146,34 @@ class Predictor:
 
     def __call__(self, x):
         return self.predict_logits(x)
+
+
+def _decode_jpeg_pil(blob, out_size, scale_size=None):
+    import io
+    from PIL import Image
+    from convnet_tpu.data.preprocess import scale_center
+    import numpy as _np
+    img = Image.open(io.BytesIO(blob)).convert("RGB")
+    return _np.asarray(scale_center(img, out_size, scale_size), _np.uint8)
+
+
+def predict_jpeg(predictor: Predictor, blobs, topk: int = 1,
+                 input_size: int = 224, threads: int = 8):
+    """Classify raw JPEG bytes end to end: native C++ decode +
+    shorter-side scale + center crop (native/jpegdec.cpp, within 1 LSB
+    of the PIL eval transform), then the Predictor's jitted uint8
+    inference path. ``blobs``: iterable of bytes. Falls back to PIL
+    per sample when the native library is unavailable or a blob fails
+    to decode."""
+    import numpy as _np
+    from convnet_tpu.data import native
+    blobs = list(blobs)
+    out = native.decode_blobs(blobs, train=False, out_size=input_size,
+                              threads=threads)
+    if out is None:
+        batch = _np.stack([_decode_jpeg_pil(b, input_size) for b in blobs])
+    else:
+        batch, fail = out
+        for j in _np.nonzero(fail)[0]:
+            batch[j] = _decode_jpeg_pil(blobs[int(j)], input_size)
+    return predictor.predict(batch, topk=topk)

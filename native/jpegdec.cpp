@@ -190,26 +190,15 @@ void resize_box(const uint8_t* src, int w, int h, double x0, double y0,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Decode + transform a batch of JPEG blobs from `tar_path`.
-//   mode 0: RandomResizedCrop(out_size, scale=[scale_lo,scale_hi],
-//           ratio=[ratio_lo,ratio_hi]) — train path (no flip: the
-//           device transform flips).
-//   mode 1: resize shorter side to scale_size, center-crop out_size —
-//           eval path.
-// out: n * out_size * out_size * 3 uint8, HWC.
-// Returns number of successfully decoded samples; failed decodes
-// leave zeros and set fail_mask[i]=1 (caller falls back to PIL).
-int64_t ctpu_decode_batch(const char* tar_path, const int64_t* offsets,
-                          const int64_t* sizes, int64_t n, int mode,
-                          int out_size, int scale_size, uint64_t seed,
-                          double scale_lo, double scale_hi,
-                          double ratio_lo, double ratio_hi,
-                          uint8_t* out, uint8_t* fail_mask,
-                          int nthreads) {
-  int fd = open(tar_path, O_RDONLY);
-  if (fd < 0) return -1;
+// Shared per-batch driver: `fetch(i, blob)` fills the raw JPEG bytes
+// for sample i (pread from a tar, or a pointer into a memory buffer).
+template <typename Fetch>
+int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
+                          int scale_size, uint64_t seed, double scale_lo,
+                          double scale_hi, double ratio_lo, double ratio_hi,
+                          uint8_t* out, uint8_t* fail_mask, int nthreads) {
   if (nthreads < 1) nthreads = 1;
   std::atomic<int64_t> next_idx{0}, ok_count{0};
   size_t plane = (size_t)out_size * out_size * 3;
@@ -220,9 +209,7 @@ int64_t ctpu_decode_batch(const char* tar_path, const int64_t* offsets,
       int64_t i = next_idx.fetch_add(1);
       if (i >= n) return;
       fail_mask[i] = 1;
-      blob.resize(sizes[i]);
-      ssize_t got = pread(fd, blob.data(), sizes[i], offsets[i]);
-      if (got != (ssize_t)sizes[i]) continue;
+      if (!fetch(i, &blob)) continue;
       int w = 0, h = 0;
       if (!decode_rgb(blob.data(), blob.size(), &pix, &w, &h)) continue;
       uint8_t* dst = out + (size_t)i * plane;
@@ -285,8 +272,59 @@ int64_t ctpu_decode_batch(const char* tar_path, const int64_t* offsets,
   for (int t = 0; t < nthreads - 1; ++t) pool.emplace_back(worker);
   worker();
   for (auto& th : pool) th.join();
-  close(fd);
   return ok_count.load();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + transform a batch of JPEG blobs from `tar_path`.
+//   mode 0: RandomResizedCrop(out_size, scale=[scale_lo,scale_hi],
+//           ratio=[ratio_lo,ratio_hi]) — train path (no flip: the
+//           device transform flips).
+//   mode 1: resize shorter side to scale_size, center-crop out_size —
+//           eval path (PIL-geometry exact).
+// out: n * out_size * out_size * 3 uint8, HWC.
+// Returns number of successfully decoded samples; failed decodes
+// leave zeros and set fail_mask[i]=1 (caller falls back to PIL).
+int64_t ctpu_decode_batch(const char* tar_path, const int64_t* offsets,
+                          const int64_t* sizes, int64_t n, int mode,
+                          int out_size, int scale_size, uint64_t seed,
+                          double scale_lo, double scale_hi,
+                          double ratio_lo, double ratio_hi,
+                          uint8_t* out, uint8_t* fail_mask,
+                          int nthreads) {
+  int fd = open(tar_path, O_RDONLY);
+  if (fd < 0) return -1;
+  auto fetch = [&](int64_t i, std::vector<uint8_t>* blob) {
+    blob->resize(sizes[i]);
+    return pread(fd, blob->data(), sizes[i], offsets[i])
+           == (ssize_t)sizes[i];
+  };
+  int64_t ok = decode_batch_impl(fetch, n, mode, out_size, scale_size,
+                                 seed, scale_lo, scale_hi, ratio_lo,
+                                 ratio_hi, out, fail_mask, nthreads);
+  close(fd);
+  return ok;
+}
+
+// Same, from an in-memory concatenation of blobs (serving path:
+// convnet_tpu/serve.py Predictor.predict_jpeg).
+int64_t ctpu_decode_batch_mem(const uint8_t* base, const int64_t* offsets,
+                              const int64_t* sizes, int64_t n, int mode,
+                              int out_size, int scale_size, uint64_t seed,
+                              double scale_lo, double scale_hi,
+                              double ratio_lo, double ratio_hi,
+                              uint8_t* out, uint8_t* fail_mask,
+                              int nthreads) {
+  auto fetch = [&](int64_t i, std::vector<uint8_t>* blob) {
+    blob->assign(base + offsets[i], base + offsets[i] + sizes[i]);
+    return true;
+  };
+  return decode_batch_impl(fetch, n, mode, out_size, scale_size, seed,
+                           scale_lo, scale_hi, ratio_lo, ratio_hi, out,
+                           fail_mask, nthreads);
 }
 
 }  // extern "C"

@@ -101,3 +101,34 @@ def test_autoaugment_disables_native_path(jpeg_tar):
     tfm = get_transform("imagenet", input_size=48, augment=True,
                         autoaugment=True)
     assert tfm.native_spec is None  # PIL path (policy ops not in C++)
+
+
+def test_decode_blobs_matches_tar_path(jpeg_tar):
+    """In-memory decode (serving path) must agree with the tar-offset
+    decode at identical geometry."""
+    ds = IndexedTarDataset(jpeg_tar)
+    idx = np.arange(len(ds))
+    via_tar, f1 = native.decode_batch(jpeg_tar, ds.offsets[idx],
+                                      ds.sizes[idx], train=False,
+                                      out_size=56, threads=2)
+    blobs = ds.read_blobs(idx)
+    via_mem = native.decode_blobs(blobs, train=False, out_size=56,
+                                  threads=2)
+    assert via_mem is not None
+    out, f2 = via_mem
+    assert not f1.any() and not f2.any()
+    np.testing.assert_array_equal(via_tar, out)
+
+
+def test_predict_jpeg_end_to_end(jpeg_tar):
+    """serve.predict_jpeg: raw JPEG bytes -> native decode -> jitted
+    uint8 inference; classes come back for every blob."""
+    from convnet_tpu.serve import Predictor, predict_jpeg
+    ds = IndexedTarDataset(jpeg_tar)
+    blobs = ds.read_blobs(np.arange(4))
+    pred = Predictor("resnet", {"depth": 8, "dataset": "cifar10",
+                                "num_classes": 10},
+                     dtype="fp32", batch_size=4, normalize="imagenet")
+    classes = predict_jpeg(pred, blobs, input_size=32)
+    assert classes.shape == (4,)
+    assert all(0 <= int(c) < 10 for c in classes)
