@@ -476,10 +476,25 @@ class Trainer:
         from jax.sharding import NamedSharding
         multihost = jax.process_count() > 1
         if multihost and self.spatial_axis is not None:
-            raise NotImplementedError(
-                "spatial partitioning across hosts is not supported: the "
-                "loader shards the batch axis per host, not activation "
-                "height")
+            # Supported iff every spatial group (the devices sharing one
+            # data index) lives on ONE host: the loader shards the batch
+            # per host with FULL-height images, so the process's
+            # addressable portion of a P(data, spatial) array is exactly
+            # its local batch slice — make_array_from_process_local_data
+            # assembles it directly. make_mesh_2d's row-major layout
+            # gives this placement whenever spatial divides the local
+            # device count (spatial neighbors are also ICI-adjacent).
+            axes = self.mesh.axis_names
+            sp_axis_idx = axes.index(self.spatial_axis)
+            devs = np.moveaxis(self.mesh.devices, sp_axis_idx, -1)
+            for group in devs.reshape(-1, devs.shape[-1]):
+                procs = {d.process_index for d in group}
+                if len(procs) > 1:
+                    raise NotImplementedError(
+                        "spatial partitioning requires each spatial "
+                        "group to be host-local (a group spans processes "
+                        f"{sorted(procs)}); choose a spatial degree that "
+                        "divides the per-host device count")
         out = []
         for a in arrays:
             if self.spatial_axis is not None and getattr(a, "ndim", 0) == 4:
