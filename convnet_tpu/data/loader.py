@@ -154,9 +154,14 @@ class DataLoader:
         # per-sample PIL fallback for undecodable members.
         spec = getattr(self.transform, "native_spec", None)
         native_mode = False
-        if (spec is not None and dup == 1
+        if (spec is not None
+                and (dup == 1 or spec["kind"] == "rrc")
                 and hasattr(self.dataset, "tar_path")
                 and hasattr(self.dataset, "offsets")):
+            # duplicates (batch augmentation): the C++ pipeline draws K
+            # independent crops per DECODE, amortizing the expensive
+            # decode across the copies; eval-side duplicate handling
+            # (multicrop TTA) stays on the PIL path.
             from convnet_tpu.data import native as _native
             native_mode = _native.jpeg_available()
 
@@ -172,16 +177,19 @@ class DataLoader:
                 seed=hash((self.seed, self.epoch, b)) & (2 ** 63 - 1),
                 scale=spec.get("scale", (0.08, 1.0)),
                 ratio=spec.get("ratio", (3 / 4, 4 / 3)),
+                duplicates=dup,
                 threads=self.num_workers)
             if fail.any():
                 import random as _random
                 for j in np.nonzero(fail)[0]:
                     i = int(idx[j])
-                    rng = _random.Random(
-                        hash((self.seed, self.epoch, i)) & 0x7FFFFFFF)
-                    sample, _ = self.dataset[i]
-                    xs[j] = self.transform.host(sample, rng, 0)
-            ys = np.asarray(self.dataset.labels[idx], np.int32)
+                    for d in range(dup):
+                        rng = _random.Random(
+                            hash((self.seed, self.epoch, i, d)) & 0x7FFFFFFF)
+                        sample, _ = self.dataset[i]
+                        xs[j * dup + d] = self.transform.host(sample, rng, d)
+            ys = np.asarray(np.repeat(self.dataset.labels[idx], dup),
+                           np.int32)
             return xs, ys
 
         # IO/decode overlap: a dedicated reader thread keeps a bounded

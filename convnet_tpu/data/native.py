@@ -149,7 +149,7 @@ def _load_jpeg():
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint64,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_double,
+            ctypes.c_double, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
             ctypes.c_int]
         _jpeg_lib = lib
@@ -163,7 +163,7 @@ def jpeg_available() -> bool:
 def decode_batch(tar_path: str, offsets, sizes, *, train: bool,
                  out_size: int = 224, scale_size: int = 0,
                  seed: int = 0, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
-                 threads: int = 8):
+                 duplicates: int = 1, threads: int = 8):
     """Decode + transform a batch of JPEG members straight out of the
     tar: RandomResizedCrop (train) or shorter-side scale + center crop
     (eval). Returns (uint8 [n, out, out, 3], fail_mask bool[n]) or
@@ -176,7 +176,8 @@ def decode_batch(tar_path: str, offsets, sizes, *, train: bool,
     offsets = np.ascontiguousarray(offsets, np.int64)
     sizes = np.ascontiguousarray(sizes, np.int64)
     n = len(offsets)
-    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    dup = max(int(duplicates), 1)
+    out = np.empty((n * dup, out_size, out_size, 3), np.uint8)
     fail = np.empty(n, np.uint8)
     got = lib.ctpu_decode_batch(
         tar_path.encode(),
@@ -185,6 +186,7 @@ def decode_batch(tar_path: str, offsets, sizes, *, train: bool,
         n, 0 if train else 1, out_size, scale_size,
         ctypes.c_uint64(seed & (2 ** 64 - 1)),
         float(scale[0]), float(scale[1]), float(ratio[0]), float(ratio[1]),
+        dup,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         fail.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         threads)
@@ -210,7 +212,7 @@ def decode_blobs(blobs, *, train: bool = False, out_size: int = 224,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint64,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_double,
+            ctypes.c_double, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
             ctypes.c_int]
         lib._mem_configured = True
@@ -228,6 +230,7 @@ def decode_blobs(blobs, *, train: bool = False, out_size: int = 224,
         n, 0 if train else 1, out_size, scale_size,
         ctypes.c_uint64(seed & (2 ** 64 - 1)),
         float(scale[0]), float(scale[1]), float(ratio[0]), float(ratio[1]),
+        1,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         fail.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         threads)

@@ -198,8 +198,10 @@ template <typename Fetch>
 int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
                           int scale_size, uint64_t seed, double scale_lo,
                           double scale_hi, double ratio_lo, double ratio_hi,
-                          uint8_t* out, uint8_t* fail_mask, int nthreads) {
+                          int dup, uint8_t* out, uint8_t* fail_mask,
+                          int nthreads) {
   if (nthreads < 1) nthreads = 1;
+  if (dup < 1) dup = 1;
   std::atomic<int64_t> next_idx{0}, ok_count{0};
   size_t plane = (size_t)out_size * out_size * 3;
 
@@ -212,9 +214,14 @@ int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
       if (!fetch(i, &blob)) continue;
       int w = 0, h = 0;
       if (!decode_rgb(blob.data(), blob.size(), &pix, &w, &h)) continue;
-      uint8_t* dst = out + (size_t)i * plane;
+      // batch augmentation ("duplicates", reference --duplicates /
+      // Hoffer et al. CVPR'20): K independently-cropped copies per
+      // DECODE — the expensive decode is amortized across the copies.
+      for (int d = 0; d < dup; ++d) {
+      uint8_t* dst = out + ((size_t)i * dup + d) * plane;
       if (mode == 0) {
-        Rng rng(seed * 0x9e3779b97f4a7c15ull + (uint64_t)i);
+        Rng rng((seed * 0x9e3779b97f4a7c15ull + (uint64_t)i)
+                * 0xd1342543de82ef95ull + (uint64_t)d);
         double area = (double)w * h;
         bool done = false;
         for (int attempt = 0; attempt < 10 && !done; ++attempt) {
@@ -263,6 +270,7 @@ int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
                    (x0 + out_size) * sx, (y0 + out_size) * sy,
                    out_size, dst);
       }
+      }  // dup
       fail_mask[i] = 0;
       ok_count.fetch_add(1);
     }
@@ -292,7 +300,7 @@ int64_t ctpu_decode_batch(const char* tar_path, const int64_t* offsets,
                           const int64_t* sizes, int64_t n, int mode,
                           int out_size, int scale_size, uint64_t seed,
                           double scale_lo, double scale_hi,
-                          double ratio_lo, double ratio_hi,
+                          double ratio_lo, double ratio_hi, int dup,
                           uint8_t* out, uint8_t* fail_mask,
                           int nthreads) {
   int fd = open(tar_path, O_RDONLY);
@@ -304,7 +312,7 @@ int64_t ctpu_decode_batch(const char* tar_path, const int64_t* offsets,
   };
   int64_t ok = decode_batch_impl(fetch, n, mode, out_size, scale_size,
                                  seed, scale_lo, scale_hi, ratio_lo,
-                                 ratio_hi, out, fail_mask, nthreads);
+                                 ratio_hi, dup, out, fail_mask, nthreads);
   close(fd);
   return ok;
 }
@@ -315,7 +323,7 @@ int64_t ctpu_decode_batch_mem(const uint8_t* base, const int64_t* offsets,
                               const int64_t* sizes, int64_t n, int mode,
                               int out_size, int scale_size, uint64_t seed,
                               double scale_lo, double scale_hi,
-                              double ratio_lo, double ratio_hi,
+                              double ratio_lo, double ratio_hi, int dup,
                               uint8_t* out, uint8_t* fail_mask,
                               int nthreads) {
   auto fetch = [&](int64_t i, std::vector<uint8_t>* blob) {
@@ -323,8 +331,8 @@ int64_t ctpu_decode_batch_mem(const uint8_t* base, const int64_t* offsets,
     return true;
   };
   return decode_batch_impl(fetch, n, mode, out_size, scale_size, seed,
-                           scale_lo, scale_hi, ratio_lo, ratio_hi, out,
-                           fail_mask, nthreads);
+                           scale_lo, scale_hi, ratio_lo, ratio_hi, dup,
+                           out, fail_mask, nthreads);
 }
 
 }  // extern "C"

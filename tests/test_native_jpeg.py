@@ -132,3 +132,22 @@ def test_predict_jpeg_end_to_end(jpeg_tar):
     classes = predict_jpeg(pred, blobs, input_size=32)
     assert classes.shape == (4,)
     assert all(0 <= int(c) < 10 for c in classes)
+
+
+def test_dataloader_native_duplicates(jpeg_tar):
+    """Batch augmentation through the native path: K independent crops
+    per decode, labels repeated contiguously (reference --duplicates,
+    'Augment your batch' CVPR'20)."""
+    from convnet_tpu.data.loader import DataLoader
+    from convnet_tpu.data.preprocess import get_transform
+    ds = IndexedTarDataset(jpeg_tar)
+    tfm = get_transform("imagenet", input_size=48, augment=True,
+                        duplicates=3)
+    dl = DataLoader(ds, batch_size=2, transform=tfm, shuffle=False,
+                    num_workers=2, device_transform=False, drop_last=True)
+    xs, ys = next(iter(dl))
+    assert xs.shape == (6, 48, 48, 3)
+    # labels: each sample's K copies contiguous
+    assert list(ys) == [ys[0]] * 3 + [ys[3]] * 3
+    # the K copies are DIFFERENT augmentation draws
+    assert (xs[0] != xs[1]).any() and (xs[1] != xs[2]).any()
