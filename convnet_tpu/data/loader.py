@@ -153,17 +153,21 @@ class DataLoader:
         # pread+decode+crop+resize call per batch (native/jpegdec.cpp);
         # per-sample PIL fallback for undecodable members.
         spec = getattr(self.transform, "native_spec", None)
-        native_mode = False
-        if (spec is not None
-                and (dup == 1 or spec["kind"] == "rrc")
-                and hasattr(self.dataset, "tar_path")
-                and hasattr(self.dataset, "offsets")):
+        native_mode = native_files_mode = False
+        if spec is not None and (dup == 1 or spec["kind"] == "rrc"):
             # duplicates (batch augmentation): the C++ pipeline draws K
             # independent crops per DECODE, amortizing the expensive
             # decode across the copies; eval-side duplicate handling
             # (multicrop TTA) stays on the PIL path.
             from convnet_tpu.data import native as _native
-            native_mode = _native.jpeg_available()
+            if (hasattr(self.dataset, "tar_path")
+                    and hasattr(self.dataset, "offsets")):
+                native_mode = _native.jpeg_available()
+            elif hasattr(self.dataset, "samples"):
+                # ImageFolder: read loose files on the host thread,
+                # decode+crop in C++; non-JPEG members (png/bmp) fail
+                # libjpeg and take the per-sample PIL fallback.
+                native_files_mode = _native.jpeg_available()
 
         def native_batch(b, idx):
             from convnet_tpu.data import native as _native
@@ -190,6 +194,37 @@ class DataLoader:
                         xs[j * dup + d] = self.transform.host(sample, rng, d)
             ys = np.asarray(np.repeat(self.dataset.labels[idx], dup),
                            np.int32)
+            return xs, ys
+
+        def native_files_batch(b, idx):
+            from convnet_tpu.data import native as _native
+            idx = [int(i) for i in idx]
+            blobs, labels = [], []
+            for i in idx:
+                path, label = self.dataset.samples[i]
+                with open(path, "rb") as f:
+                    blobs.append(f.read())
+                labels.append(label)
+            xs, fail = _native.decode_blobs(
+                blobs, train=(spec["kind"] == "rrc"),
+                out_size=spec["out_size"],
+                scale_size=spec.get("scale_size", 0),
+                seed=hash((self.seed, self.epoch, b)) & (2 ** 63 - 1),
+                scale=spec.get("scale", (0.08, 1.0)),
+                ratio=spec.get("ratio", (3 / 4, 4 / 3)),
+                duplicates=dup,
+                threads=self.num_workers)
+            if fail.any():
+                import random as _random
+                for j in np.nonzero(fail)[0]:
+                    i = idx[int(j)]
+                    sample, _ = self.dataset[i]
+                    for d in range(dup):
+                        rng = _random.Random(
+                            hash((self.seed, self.epoch, i, d)) & 0x7FFFFFFF)
+                        xs[int(j) * dup + d] = self.transform.host(
+                            sample, rng, d)
+            ys = np.asarray(np.repeat(labels, dup), np.int32)
             return xs, ys
 
         # IO/decode overlap: a dedicated reader thread keeps a bounded
@@ -220,10 +255,12 @@ class DataLoader:
                 for b in range(num_batches):
                     if stop.is_set():
                         return
-                    if native_mode:
+                    if native_mode or native_files_mode:
                         idx = shard[b * self.batch_size:
                                     (b + 1) * self.batch_size]
-                        out_q.put(native_batch(b, idx))
+                        fn = (native_batch if native_mode
+                              else native_files_batch)
+                        out_q.put(fn(b, idx))
                         continue
                     if blob_mode:
                         item = blob_q.get()

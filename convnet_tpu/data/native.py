@@ -197,7 +197,8 @@ def decode_batch(tar_path: str, offsets, sizes, *, train: bool,
 
 def decode_blobs(blobs, *, train: bool = False, out_size: int = 224,
                  scale_size: int = 0, seed: int = 0,
-                 scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3), threads: int = 8):
+                 scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                 duplicates: int = 1, threads: int = 8):
     """In-memory variant of :func:`decode_batch` for loose JPEG bytes
     (serving path). Returns (uint8 [n, out, out, 3], fail_mask) or
     None when the native library is unavailable."""
@@ -221,7 +222,8 @@ def decode_blobs(blobs, *, train: bool = False, out_size: int = 224,
     np.cumsum(sizes[:-1], out=offsets[1:])
     base = np.frombuffer(b"".join(blobs), np.uint8)
     n = len(blobs)
-    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    dup = max(int(duplicates), 1)
+    out = np.empty((n * dup, out_size, out_size, 3), np.uint8)
     fail = np.empty(n, np.uint8)
     got = lib.ctpu_decode_batch_mem(
         base.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
@@ -230,7 +232,7 @@ def decode_blobs(blobs, *, train: bool = False, out_size: int = 224,
         n, 0 if train else 1, out_size, scale_size,
         ctypes.c_uint64(seed & (2 ** 64 - 1)),
         float(scale[0]), float(scale[1]), float(ratio[0]), float(ratio[1]),
-        1,
+        dup,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         fail.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         threads)

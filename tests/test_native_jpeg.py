@@ -151,3 +151,31 @@ def test_dataloader_native_duplicates(jpeg_tar):
     assert list(ys) == [ys[0]] * 3 + [ys[3]] * 3
     # the K copies are DIFFERENT augmentation draws
     assert (xs[0] != xs[1]).any() and (xs[1] != xs[2]).any()
+
+
+def test_dataloader_native_imagefolder(tmp_path):
+    """ImageFolder (loose files) through the native decode path,
+    including a non-JPEG member exercising the PIL fallback."""
+    from PIL import Image
+    from convnet_tpu.data.datasets import ImageFolder
+    from convnet_tpu.data.loader import DataLoader
+    from convnet_tpu.data.preprocess import get_transform
+    rng = np.random.default_rng(2)
+    for c in range(2):
+        d = tmp_path / f"cls{c}"
+        d.mkdir()
+        for i in range(3):
+            img = (rng.random((72, 80, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(str(d / f"im{i}.jpg"), quality=90)
+    # one PNG — libjpeg rejects it, per-sample PIL fallback handles it
+    png = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    Image.fromarray(png).save(str(tmp_path / "cls0" / "zz.png"))
+
+    ds = ImageFolder(str(tmp_path))
+    tfm = get_transform("imagenet", input_size=48, augment=True)
+    dl = DataLoader(ds, batch_size=7, transform=tfm, shuffle=False,
+                    num_workers=2, device_transform=False, drop_last=False)
+    xs, ys = next(iter(dl))
+    assert xs.shape == (7, 48, 48, 3) and xs.dtype == np.uint8
+    assert sorted(set(int(v) for v in ys)) == [0, 1]
+    assert all(x.std() > 0 for x in xs)  # every member decoded (incl. png)
