@@ -85,9 +85,16 @@ def main():
         step_flops = None
     if not step_flops:
         step_flops = 3 * 4.09e9 * batch * (image / 224) ** 2
-    # bf16 matmul peak by device generation (v5e ~197, v5p ~459 TF/s)
+    # bf16 matmul peak by device generation; unknown generations fall
+    # back to the v5e figure and say so in the output
     kind = jax.devices()[0].device_kind.lower()
-    peak = 459e12 if "v5p" in kind or "p5" in kind else 197e12
+    peaks = [("v6e", 918e12), ("v6 lite", 918e12), ("v5p", 459e12),
+             ("v5 lite", 197e12), ("v5e", 197e12), ("v4", 275e12),
+             ("v3", 123e12)]
+    peak = next((p for k, p in peaks if k in kind), None)
+    peak_known = peak is not None
+    if peak is None:
+        peak = 197e12
     model_tflops = step_flops / p50 / 1e12
 
     result = {
@@ -104,6 +111,8 @@ def main():
         "model_tflops": round(model_tflops, 2),
         "mfu": round(model_tflops * 1e12 / peak, 4),
         "peak_tflops_assumed": peak / 1e12,
+        "peak_known": peak_known,
+        "device_kind": jax.devices()[0].device_kind,
     }
     print(json.dumps(result))
 

@@ -165,14 +165,23 @@ class DataLoader:
                 native_mode = _native.jpeg_available()
             elif hasattr(self.dataset, "samples"):
                 # ImageFolder: read loose files on the host thread,
-                # decode+crop in C++; non-JPEG members (png/bmp) fail
-                # libjpeg and take the per-sample PIL fallback.
-                native_files_mode = _native.jpeg_available()
+                # decode+crop in C++; the occasional non-JPEG member
+                # (png/bmp) fails libjpeg and takes the per-sample PIL
+                # fallback. Folders that are NOT mostly JPEG stay on
+                # the threaded PIL path (otherwise every sample would
+                # funnel through the single-threaded fallback loop).
+                probe = [self.dataset.samples[int(i)][0].lower()
+                         for i in shard[:16]]
+                mostly_jpeg = probe and (
+                    sum(p.endswith((".jpg", ".jpeg")) for p in probe)
+                    >= max(1, len(probe) * 3 // 4))
+                native_files_mode = (_native.jpeg_available()
+                                     and mostly_jpeg)
 
         def native_batch(b, idx):
             from convnet_tpu.data import native as _native
             idx = np.asarray(idx, np.int64)
-            xs, fail = _native.decode_batch(
+            decoded = _native.decode_batch(
                 self.dataset.tar_path,
                 self.dataset.offsets[idx], self.dataset.sizes[idx],
                 train=(spec["kind"] == "rrc"),
@@ -183,6 +192,20 @@ class DataLoader:
                 ratio=spec.get("ratio", (3 / 4, 4 / 3)),
                 duplicates=dup,
                 threads=self.num_workers)
+            if decoded is None:
+                # tar became unreadable (moved/fd exhaustion) — decode
+                # every sample through the PIL path for this batch
+                import random as _random
+                xs = np.stack([
+                    self.transform.host(
+                        self.dataset[int(i)][0],
+                        _random.Random(hash((self.seed, self.epoch,
+                                             int(i), d)) & 0x7FFFFFFF), d)
+                    for i in idx for d in range(dup)])
+                ys = np.asarray(np.repeat(self.dataset.labels[idx], dup),
+                               np.int32)
+                return xs, ys
+            xs, fail = decoded
             if fail.any():
                 import random as _random
                 for j in np.nonzero(fail)[0]:
@@ -205,7 +228,7 @@ class DataLoader:
                 with open(path, "rb") as f:
                     blobs.append(f.read())
                 labels.append(label)
-            xs, fail = _native.decode_blobs(
+            decoded = _native.decode_blobs(
                 blobs, train=(spec["kind"] == "rrc"),
                 out_size=spec["out_size"],
                 scale_size=spec.get("scale_size", 0),
@@ -214,6 +237,16 @@ class DataLoader:
                 ratio=spec.get("ratio", (3 / 4, 4 / 3)),
                 duplicates=dup,
                 threads=self.num_workers)
+            if decoded is None:
+                import random as _random
+                xs = np.stack([
+                    self.transform.host(
+                        self.dataset[i][0],
+                        _random.Random(hash((self.seed, self.epoch,
+                                             i, d)) & 0x7FFFFFFF), d)
+                    for i in idx for d in range(dup)])
+                return xs, np.asarray(np.repeat(labels, dup), np.int32)
+            xs, fail = decoded
             if fail.any():
                 import random as _random
                 for j in np.nonzero(fail)[0]:

@@ -33,7 +33,7 @@ def _load():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build_attempted:
+        if _stale(_LIB_PATH, "dataio.cpp") and not _build_attempted:
             _build_attempted = True
             try:
                 subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -120,6 +120,19 @@ _jpeg_lib = None
 _jpeg_build_attempted = False
 
 
+def _stale(lib_path, src_name):
+    """True when the shared library is missing or older than its
+    source — the committed binaries are a no-toolchain fallback, but an
+    edited .cpp must win over a stale checked-in .so."""
+    if not os.path.exists(lib_path):
+        return True
+    src_path = os.path.join(_NATIVE_DIR, src_name)
+    try:
+        return os.path.getmtime(src_path) > os.path.getmtime(lib_path)
+    except OSError:
+        return False
+
+
 def _load_jpeg():
     """libconvnet_jpegdec.so: GIL-free pread + libjpeg decode +
     crop/resize batch pipeline (native/jpegdec.cpp)."""
@@ -127,14 +140,15 @@ def _load_jpeg():
     with _lib_lock:
         if _jpeg_lib is not None:
             return _jpeg_lib
-        if not os.path.exists(_JPEG_LIB_PATH) and not _jpeg_build_attempted:
+        if _stale(_JPEG_LIB_PATH, "jpegdec.cpp") and not _jpeg_build_attempted:
             _jpeg_build_attempted = True
             try:
                 subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
                                check=True, capture_output=True, timeout=120)
             except Exception as e:  # no toolchain/libjpeg → PIL fallback
                 log.debug("native jpegdec build failed: %s", e)
-                return None
+                if not os.path.exists(_JPEG_LIB_PATH):
+                    return None
         if not os.path.exists(_JPEG_LIB_PATH):
             return None
         try:
@@ -142,9 +156,9 @@ def _load_jpeg():
         except OSError as e:  # libjpeg missing at runtime
             log.debug("native jpegdec load failed: %s", e)
             return None
-        lib.ctpu_decode_batch.restype = ctypes.c_int64
-        lib.ctpu_decode_batch.argtypes = [
-            ctypes.c_char_p,
+        # one shared tail signature for both entry points — the only
+        # difference is the first argument (tar path vs memory base)
+        tail = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint64,
@@ -152,6 +166,11 @@ def _load_jpeg():
             ctypes.c_double, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
             ctypes.c_int]
+        lib.ctpu_decode_batch.restype = ctypes.c_int64
+        lib.ctpu_decode_batch.argtypes = [ctypes.c_char_p] + tail
+        lib.ctpu_decode_batch_mem.restype = ctypes.c_int64
+        lib.ctpu_decode_batch_mem.argtypes = (
+            [ctypes.POINTER(ctypes.c_ubyte)] + tail)
         _jpeg_lib = lib
         return _jpeg_lib
 

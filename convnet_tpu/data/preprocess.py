@@ -246,7 +246,11 @@ def get_transform(transform_name: str = "imagenet",
     else:
         host_fn = multicrop_host if (multicrop and duplicates > 1) else scale_crop_host
         host = partial(host_fn, out_size=size, scale_size=scale_size)
-        if host_fn is scale_crop_host:
+        if (host_fn is scale_crop_host
+                and not (scale_size and scale_size < size)):
+            # scale_size < out_size makes PIL's crop pad the borders
+            # black — a case the C++ box-resampler doesn't reproduce
+            # (it clamps taps to the image); such configs stay on PIL
             native_spec = {"kind": "center", "out_size": size,
                            "scale_size": scale_size or 0}
 

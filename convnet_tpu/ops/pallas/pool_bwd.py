@@ -20,9 +20,10 @@ stack+reshape interleave (`tpu.reshape` inserting a unit dim is an
 "unsupported shape cast"), in-kernel uint8→bf16 casts AND bool→bf16
 converts — so the kernel emits one rank-5 block
 ``[B, n_h, s_h·s_w, n_w, C]`` with a plane per residue class (static
-rank-5 writes are supported), masks with ``jnp.where`` (native pred
-select), receives the winner index pre-converted to the gradient
-dtype by XLA, and leaves the final disjoint strided ``.at[].set``
+rank-5 writes are supported), masks with the arithmetic indicator
+max(0, 1-(idx-t)²) (Mosaic also rejects bf16 compares), receives the
+winner index pre-converted to the gradient dtype by XLA, and leaves
+the final disjoint strided ``.at[].set``
 placement to XLA (stride-1 pools — GoogLeNet's branch pools — have a
 single class and skip placement entirely).
 """
@@ -72,8 +73,8 @@ def _bwd_kernel(idx_ref, dy_ref, dx_ref, *, kernel, stride, padding,
     """dx_ref: [NB, nh, n_cls, nw, C] — one plane per residue class
     (cls = rr*sw + rc), written with static rank-5 indexing (Mosaic
     accepts static writes into a rank-5 block; it rejects the
-    stack+reshape interleave and bool->bf16 converts — see
-    scripts/jobs/done/035_mosaic_bisect.out)."""
+    stack+reshape interleave, bool->bf16 converts AND bf16 compares —
+    see scripts/jobs/done/035_mosaic_bisect.out and 039)."""
     kh, kw = kernel
     sh, sw = stride
     ph, pw = padding
@@ -128,9 +129,10 @@ def _build(kernel, stride, padding, x_shape, dy_shape, dy_dtype,
     n_cls = sh * sw
 
     # batch block: keep the working set (idx+dy+k² contribs+out) under
-    # ~10 MB of VMEM
-    per_img = (ho * wo * c * (2 + 2 + 2 * kh * kw)
-               + nh * n_cls * nw * c * 2)
+    # ~10 MB of VMEM (itemsize-aware: supported() also admits fp32)
+    isz = jnp.dtype(dy_dtype).itemsize
+    per_img = (ho * wo * c * isz * (2 + kh * kw)
+               + nh * n_cls * nw * c * isz)
     nb = 1
     while (nb * 2 <= b and per_img * nb * 2 < 10 * 2 ** 20
            and b % (nb * 2) == 0):

@@ -484,17 +484,21 @@ class Trainer:
             # assembles it directly. make_mesh_2d's row-major layout
             # gives this placement whenever spatial divides the local
             # device count (spatial neighbors are also ICI-adjacent).
-            axes = self.mesh.axis_names
-            sp_axis_idx = axes.index(self.spatial_axis)
-            devs = np.moveaxis(self.mesh.devices, sp_axis_idx, -1)
-            for group in devs.reshape(-1, devs.shape[-1]):
-                procs = {d.process_index for d in group}
-                if len(procs) > 1:
-                    raise NotImplementedError(
-                        "spatial partitioning requires each spatial "
-                        "group to be host-local (a group spans processes "
-                        f"{sorted(procs)}); choose a spatial degree that "
-                        "divides the per-host device count")
+            if not getattr(self, "_spatial_placement_ok", False):
+                # validated once per trainer: the mesh cannot change
+                axes = self.mesh.axis_names
+                sp_axis_idx = axes.index(self.spatial_axis)
+                devs = np.moveaxis(self.mesh.devices, sp_axis_idx, -1)
+                for group in devs.reshape(-1, devs.shape[-1]):
+                    procs = {d.process_index for d in group}
+                    if len(procs) > 1:
+                        raise NotImplementedError(
+                            "spatial partitioning requires each spatial "
+                            "group to be host-local (a group spans "
+                            f"processes {sorted(procs)}); choose a "
+                            "spatial degree that divides the per-host "
+                            "device count")
+                self._spatial_placement_ok = True
         out = []
         for a in arrays:
             if self.spatial_axis is not None and getattr(a, "ndim", 0) == 4:

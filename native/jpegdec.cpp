@@ -211,9 +211,14 @@ int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
       int64_t i = next_idx.fetch_add(1);
       if (i >= n) return;
       fail_mask[i] = 1;
-      if (!fetch(i, &blob)) continue;
       int w = 0, h = 0;
-      if (!decode_rgb(blob.data(), blob.size(), &pix, &w, &h)) continue;
+      if (!fetch(i, &blob)
+          || !decode_rgb(blob.data(), blob.size(), &pix, &w, &h)) {
+        // honor the documented contract: failed planes are ZEROED
+        // (the caller-visible buffer is allocated uninitialized)
+        std::memset(out + (size_t)i * dup * plane, 0, dup * plane);
+        continue;
+      }
       // batch augmentation ("duplicates", reference --duplicates /
       // Hoffer et al. CVPR'20): K independently-cropped copies per
       // DECODE — the expensive decode is amortized across the copies.
