@@ -88,9 +88,12 @@ def main():
     # bf16 matmul peak by device generation; unknown generations fall
     # back to the v5e figure and say so in the output
     kind = jax.devices()[0].device_kind.lower()
-    peaks = [("v6e", 918e12), ("v6 lite", 918e12), ("v5p", 459e12),
-             ("v5 lite", 197e12), ("v5e", 197e12), ("v4", 275e12),
-             ("v3", 123e12)]
+    # ordered substring match: the "lite" variants must precede the
+    # bare "v5" fallback (libtpu reports v5e as "TPU v5 lite" but v5p
+    # as plain "TPU v5" in some versions — a bare-"v5" kind is v5p)
+    peaks = [("v6e", 918e12), ("v6 lite", 918e12),
+             ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+             ("v5", 459e12), ("v4", 275e12), ("v3", 123e12)]
     peak = next((p for k, p in peaks if k in kind), None)
     peak_known = peak is not None
     if peak is None:

@@ -154,7 +154,11 @@ class DataLoader:
         # per-sample PIL fallback for undecodable members.
         spec = getattr(self.transform, "native_spec", None)
         native_mode = native_files_mode = False
-        if spec is not None and (dup == 1 or spec["kind"] == "rrc"):
+        import os as _os
+        native_enabled = _os.environ.get(
+            "CONVNET_TPU_NATIVE_DECODE", "1") != "0"
+        if (spec is not None and native_enabled
+                and (dup == 1 or spec["kind"] == "rrc")):
             # duplicates (batch augmentation): the C++ pipeline draws K
             # independent crops per DECODE, amortizing the expensive
             # decode across the copies; eval-side duplicate handling
@@ -170,20 +174,23 @@ class DataLoader:
                 # fallback. Folders that are NOT mostly JPEG stay on
                 # the threaded PIL path (otherwise every sample would
                 # funnel through the single-threaded fallback loop).
+                # Probe evenly across the (class-sorted) listing so the
+                # decision spans all classes and is stable across
+                # epochs/shuffle/processes.
+                n_samp = len(self.dataset.samples)
+                probe_idx = np.unique(np.linspace(
+                    0, n_samp - 1, num=min(16, n_samp)).astype(int))
                 probe = [self.dataset.samples[int(i)][0].lower()
-                         for i in shard[:16]]
-                mostly_jpeg = probe and (
+                         for i in probe_idx]
+                mostly_jpeg = len(probe) > 0 and (
                     sum(p.endswith((".jpg", ".jpeg")) for p in probe)
                     >= max(1, len(probe) * 3 // 4))
                 native_files_mode = (_native.jpeg_available()
                                      and mostly_jpeg)
 
-        def native_batch(b, idx):
-            from convnet_tpu.data import native as _native
-            idx = np.asarray(idx, np.int64)
-            decoded = _native.decode_batch(
-                self.dataset.tar_path,
-                self.dataset.offsets[idx], self.dataset.sizes[idx],
+        def _native_spec_kwargs(b):
+            # shared decode parameters for both native entry points
+            return dict(
                 train=(spec["kind"] == "rrc"),
                 out_size=spec["out_size"],
                 scale_size=spec.get("scale_size", 0),
@@ -192,32 +199,48 @@ class DataLoader:
                 ratio=spec.get("ratio", (3 / 4, 4 / 3)),
                 duplicates=dup,
                 threads=self.num_workers)
+
+        def _pil_rng(i, d):
+            # deterministic per-(sample, duplicate) PIL fallback draw —
+            # seed scheme shared by both native paths
+            import random as _random
+            rng = _random.Random(
+                hash((self.seed, self.epoch, int(i), d)) & 0x7FFFFFFF)
+            return rng
+
+        def _finish_native(idx, labels, decoded):
+            """Common tail for both native paths: full-batch PIL
+            fallback when the decode call is unavailable, per-sample
+            PIL repair of failed members, label duplication."""
+            ys = np.asarray(np.repeat(labels, dup), np.int32)
             if decoded is None:
-                # tar became unreadable (moved/fd exhaustion) — decode
-                # every sample through the PIL path for this batch
-                import random as _random
-                xs = np.stack([
-                    self.transform.host(
-                        self.dataset[int(i)][0],
-                        _random.Random(hash((self.seed, self.epoch,
-                                             int(i), d)) & 0x7FFFFFFF), d)
-                    for i in idx for d in range(dup)])
-                ys = np.asarray(np.repeat(self.dataset.labels[idx], dup),
-                               np.int32)
-                return xs, ys
+                # source became unreadable (moved/fd exhaustion) —
+                # decode every sample through the PIL path (one decode
+                # per sample, reused across duplicate draws)
+                rows = []
+                for i in idx:
+                    sample, _ = self.dataset[int(i)]
+                    rows.extend(self.transform.host(sample, _pil_rng(i, d), d)
+                                for d in range(dup))
+                return np.stack(rows), ys
             xs, fail = decoded
             if fail.any():
-                import random as _random
                 for j in np.nonzero(fail)[0]:
-                    i = int(idx[j])
+                    i = int(idx[int(j)])
+                    sample, _ = self.dataset[i]
                     for d in range(dup):
-                        rng = _random.Random(
-                            hash((self.seed, self.epoch, i, d)) & 0x7FFFFFFF)
-                        sample, _ = self.dataset[i]
-                        xs[j * dup + d] = self.transform.host(sample, rng, d)
-            ys = np.asarray(np.repeat(self.dataset.labels[idx], dup),
-                           np.int32)
+                        xs[int(j) * dup + d] = self.transform.host(
+                            sample, _pil_rng(i, d), d)
             return xs, ys
+
+        def native_batch(b, idx):
+            from convnet_tpu.data import native as _native
+            idx = np.asarray(idx, np.int64)
+            decoded = _native.decode_batch(
+                self.dataset.tar_path,
+                self.dataset.offsets[idx], self.dataset.sizes[idx],
+                **_native_spec_kwargs(b))
+            return _finish_native(idx, self.dataset.labels[idx], decoded)
 
         def native_files_batch(b, idx):
             from convnet_tpu.data import native as _native
@@ -228,37 +251,8 @@ class DataLoader:
                 with open(path, "rb") as f:
                     blobs.append(f.read())
                 labels.append(label)
-            decoded = _native.decode_blobs(
-                blobs, train=(spec["kind"] == "rrc"),
-                out_size=spec["out_size"],
-                scale_size=spec.get("scale_size", 0),
-                seed=hash((self.seed, self.epoch, b)) & (2 ** 63 - 1),
-                scale=spec.get("scale", (0.08, 1.0)),
-                ratio=spec.get("ratio", (3 / 4, 4 / 3)),
-                duplicates=dup,
-                threads=self.num_workers)
-            if decoded is None:
-                import random as _random
-                xs = np.stack([
-                    self.transform.host(
-                        self.dataset[i][0],
-                        _random.Random(hash((self.seed, self.epoch,
-                                             i, d)) & 0x7FFFFFFF), d)
-                    for i in idx for d in range(dup)])
-                return xs, np.asarray(np.repeat(labels, dup), np.int32)
-            xs, fail = decoded
-            if fail.any():
-                import random as _random
-                for j in np.nonzero(fail)[0]:
-                    i = idx[int(j)]
-                    sample, _ = self.dataset[i]
-                    for d in range(dup):
-                        rng = _random.Random(
-                            hash((self.seed, self.epoch, i, d)) & 0x7FFFFFFF)
-                        xs[int(j) * dup + d] = self.transform.host(
-                            sample, rng, d)
-            ys = np.asarray(np.repeat(labels, dup), np.int32)
-            return xs, ys
+            decoded = _native.decode_blobs(blobs, **_native_spec_kwargs(b))
+            return _finish_native(idx, labels, decoded)
 
         # IO/decode overlap: a dedicated reader thread keeps a bounded
         # queue of raw-blob batches ahead of the decoder, so archive

@@ -40,7 +40,8 @@ def _load():
                                check=True, capture_output=True, timeout=120)
             except Exception as e:  # toolchain absent → python fallback
                 log.debug("native dataio build failed: %s", e)
-                return None
+                if not os.path.exists(_LIB_PATH):
+                    return None
         if not os.path.exists(_LIB_PATH):
             return None
         lib = ctypes.CDLL(_LIB_PATH)
@@ -224,18 +225,6 @@ def decode_blobs(blobs, *, train: bool = False, out_size: int = 224,
     lib = _load_jpeg()
     if lib is None:
         return None
-    if not hasattr(lib, "_mem_configured"):
-        lib.ctpu_decode_batch_mem.restype = ctypes.c_int64
-        lib.ctpu_decode_batch_mem.argtypes = [
-            ctypes.POINTER(ctypes.c_ubyte),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_uint64,
-            ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_double, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
-            ctypes.c_int]
-        lib._mem_configured = True
     sizes = np.asarray([len(b) for b in blobs], np.int64)
     offsets = np.zeros(len(blobs), np.int64)
     np.cumsum(sizes[:-1], out=offsets[1:])

@@ -40,32 +40,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pair(v):
-    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
-
-
-def _shift2(m, du, dv, n_h, n_w):
-    """out[a, b] = m[a + du, b + dv] for a < n_h, b < n_w, zero-filled
-    out of range; static offsets (rank-4 [NB, H, W, C] values)."""
-    pad = [(0, 0)] * 4
-    start = [0, 0, 0, 0]
-    for axis, (d, n) in ((1, (du, n_h)), (2, (dv, n_w))):
-        lo = max(0, -d)
-        hi = max(0, n + d - m.shape[axis])
-        pad[axis] = (lo, hi)
-        start[axis] = d + lo
-    if any(p != (0, 0) for p in pad):
-        m = jax.lax.pad(m, jnp.zeros((), m.dtype),
-                        [(p[0], p[1], 0) for p in pad])
-    return jax.lax.slice(
-        m, start, [start[0] + m.shape[0], start[1] + n_h,
-                   start[2] + n_w, start[3] + m.shape[3]])
-
-
-def _class_taps(r, p, k, s):
-    """Taps d feeding residue class r (unpadded coords): d ≡ (r+p) mod s,
-    window shift u = (r+p-d)//s."""
-    return [(d, (r + p - d) // s) for d in range(k) if (r + p - d) % s == 0]
+# single-sourced residue-class helpers — the shift/tap arithmetic must
+# be identical across the XLA pad-sum and this Pallas formulation
+from convnet_tpu.ops.pool import _class_taps, _pair, _shift2  # noqa: E402
 
 
 def _bwd_kernel(idx_ref, dy_ref, dx_ref, *, kernel, stride, padding,

@@ -148,6 +148,37 @@ def _shift_pad(x, axis, lo, hi):
     return jnp.pad(x, pad)
 
 
+def _shift2(m, du, dv, n_h, n_w):
+    """out[a, b] = m[a + du, b + dv] over a ∈ [0, n_h), b ∈ [0, n_w)
+    with zero fill for out-of-range reads (du/dv may be negative);
+    static offsets, rank-4 [NB, H, W, C] values.
+
+    The exactness-critical core of every residue-class pad-sum backward
+    (``_mp_bwd_padsum``/``_ap_bwd_padsum`` here and the Pallas kernel in
+    ops/pallas/pool_bwd.py) — single-sourced so the pad/slice arithmetic
+    cannot diverge between formulations. Only guarded ``lax.pad`` +
+    ``lax.slice`` (Mosaic-compatible; jobs 033/035)."""
+    pad = [(0, 0)] * 4
+    start = [0, 0, 0, 0]
+    for axis, (d, n) in ((1, (du, n_h)), (2, (dv, n_w))):
+        lo = max(0, -d)
+        hi = max(0, n + d - m.shape[axis])
+        pad[axis] = (lo, hi)
+        start[axis] = d + lo
+    if any(p != (0, 0) for p in pad):
+        m = jax.lax.pad(m, jnp.zeros((), m.dtype),
+                        [(p[0], p[1], 0) for p in pad])
+    return jax.lax.slice(
+        m, start, [start[0] + m.shape[0], start[1] + n_h,
+                   start[2] + n_w, start[3] + m.shape[3]])
+
+
+def _class_taps(r, p, k, s):
+    """Taps d feeding residue class r (unpadded coords): d ≡ (r+p) mod
+    s, window shift u = (r+p-d)//s."""
+    return [(d, (r + p - d) // s) for d in range(k) if (r + p - d) % s == 0]
+
+
 def _mp_bwd(kernel, stride, padding, x_shape, x_dtype, idx, dy):
     """Scatter-free max-pool backward: decompose the strided scatter by
     residue classes and reassemble with interleaving reshapes — all
@@ -213,32 +244,15 @@ def _mp_bwd_padsum(kernel, stride, padding, x_shape, x_dtype, idx, dy):
     ph, pw = _pair(padding)
     b, h, w, c = x_shape
 
-    def _shift2(m, du, dv, n_h, n_w):
-        """out[a, b] = m[a + du, b + dv] over a ∈ [0, n_h), b ∈ [0, n_w)
-        with zero fill for out-of-range reads (du/dv may be negative)."""
-        pad = [(0, 0)] * 4
-        start = [0, 0, 0, 0]
-        for axis, (d, n) in (((1, (du, n_h))), (2, (dv, n_w))):
-            lo = max(0, -d)
-            hi = max(0, n + d - m.shape[axis])
-            pad[axis] = (lo, hi)
-            start[axis] = d + lo
-        mp_ = jnp.pad(m, pad)
-        return jax.lax.slice(
-            mp_, start, [start[0] + m.shape[0], start[1] + n_h,
-                         start[2] + n_w, start[3] + m.shape[3]])
-
     dx = None
     for rr in range(sh):
         # unpadded row i = sh*a + rr receives tap di at oi = a + du
-        rtaps = [(di, (rr + ph - di) // sh) for di in range(kh)
-                 if (rr + ph - di) % sh == 0]
+        rtaps = _class_taps(rr, ph, kh, sh)
         n_h = (h - rr + sh - 1) // sh  # number of rows in this class
         if n_h <= 0 or not rtaps:
             continue
         for rc in range(sw):
-            ctaps = [(dj, (rc + pw - dj) // sw) for dj in range(kw)
-                     if (rc + pw - dj) % sw == 0]
+            ctaps = _class_taps(rc, pw, kw, sw)
             n_w = (w - rc + sw - 1) // sw
             if n_w <= 0 or not ctaps:
                 continue
@@ -533,29 +547,14 @@ def _ap_bwd_padsum(kernel, stride, padding, x_shape, x_dtype,
                                dy.dtype)
     dys = dys.astype(dy.dtype)
 
-    def _shift2(m, du, dv, n_h, n_w):
-        pad = [(0, 0)] * 4
-        start = [0, 0, 0, 0]
-        for axis, (d, n) in (((1, (du, n_h))), (2, (dv, n_w))):
-            lo = max(0, -d)
-            hi = max(0, n + d - m.shape[axis])
-            pad[axis] = (lo, hi)
-            start[axis] = d + lo
-        mp_ = jnp.pad(m, pad)
-        return jax.lax.slice(
-            mp_, start, [start[0] + m.shape[0], start[1] + n_h,
-                         start[2] + n_w, start[3] + m.shape[3]])
-
     dx = None
     for rr in range(sh):
-        rtaps = [(rr + ph - di) // sh for di in range(kh)
-                 if (rr + ph - di) % sh == 0]
+        rtaps = [u for _, u in _class_taps(rr, ph, kh, sh)]
         n_h = (h - rr + sh - 1) // sh
         if n_h <= 0 or not rtaps:
             continue
         for rc in range(sw):
-            ctaps = [(rc + pw - dj) // sw for dj in range(kw)
-                     if (rc + pw - dj) % sw == 0]
+            ctaps = [u for _, u in _class_taps(rc, pw, kw, sw)]
             n_w = (w - rc + sw - 1) // sw
             if n_w <= 0 or not ctaps:
                 continue

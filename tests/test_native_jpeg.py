@@ -179,3 +179,17 @@ def test_dataloader_native_imagefolder(tmp_path):
     assert xs.shape == (7, 48, 48, 3) and xs.dtype == np.uint8
     assert sorted(set(int(v) for v in ys)) == [0, 1]
     assert all(x.std() > 0 for x in xs)  # every member decoded (incl. png)
+
+
+def test_native_decode_env_kill_switch(jpeg_tar, monkeypatch):
+    """CONVNET_TPU_NATIVE_DECODE=0 forces the PIL path (repro/debug
+    escape hatch) — output batches still come through."""
+    from convnet_tpu.data.loader import DataLoader
+    from convnet_tpu.data.preprocess import get_transform
+    ds = IndexedTarDataset(jpeg_tar)
+    tfm = get_transform("imagenet", input_size=48, augment=True)
+    monkeypatch.setenv("CONVNET_TPU_NATIVE_DECODE", "0")
+    dl = DataLoader(ds, batch_size=4, transform=tfm, shuffle=False,
+                    num_workers=2, device_transform=False)
+    xs, ys = next(iter(dl))
+    assert xs.shape == (4, 48, 48, 3)
