@@ -55,6 +55,10 @@ class Context:
         append ``(weight, logits)`` during the training forward, and
         the loss adds ``weight * CE(logits, y)`` per entry. ``None``
         (the default, and always at eval) disables collection.
+      quant: optional :class:`convnet_tpu.nn.quant.QuantCtx` — int8
+        post-training quantization of eligible pointwise convs
+        (serving path only; ``None`` everywhere else). A fresh object
+        is required per trace.
     """
 
     train: bool = False
@@ -64,6 +68,7 @@ class Context:
     spatial_axis: Optional[str] = None
     impl: str = "xla"
     aux: Optional[list] = None
+    quant: Optional[object] = None
 
     def next_rng(self) -> jax.Array:
         """Split off a fresh key (deterministic across retraces/remat)."""

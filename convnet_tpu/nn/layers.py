@@ -64,6 +64,20 @@ class Conv2d(Module):
         return max(s) <= 2 and isinstance(self.padding, int)
 
     def __call__(self, params, state, x, ctx: Context):
+        if ctx.quant is not None:
+            from convnet_tpu.nn import quant as _quant
+            if _quant.conv_eligible(self, x.shape):
+                if ctx.quant.mode == "calibrate":
+                    # observe the float range, compute the bf16 forward
+                    ctx.quant.record(jnp.max(jnp.abs(
+                        x.astype(jnp.float32))))
+                else:
+                    y = _quant.conv1x1_int8(x, params["w"],
+                                            ctx.quant.next_scale())
+                    if self.use_bias:
+                        y = (y.astype(jnp.float32)
+                             + params["b"].astype(jnp.float32)).astype(y.dtype)
+                    return y, state
         if ctx.spatial_axis is not None:
             from convnet_tpu.parallel.spatial import conv2d_spatial
             y = conv2d_spatial(x, params["w"], stride=self.stride,

@@ -50,7 +50,9 @@ class Predictor:
     def __init__(self, model_name: str, model_config: Optional[dict] = None,
                  checkpoint: Optional[str] = None, dtype: str = "bf16",
                  batch_size: int = 64, absorb_bn: bool = True,
-                 impl: Optional[str] = None, normalize="auto"):
+                 impl: Optional[str] = None, normalize="auto",
+                 quantize: Optional[str] = None, calibration=None,
+                 input_size: int = 224):
         """``normalize``: dataset mean/std applied on-device after the
         /255 scaling — the same normalization the training pipeline
         applies (data/preprocess.py DATASET_STATS), so checkpoints
@@ -58,7 +60,15 @@ class Predictor:
         logits through this path. ``"auto"`` resolves the dataset name
         from the checkpoint's config (falling back to model_config /
         imagenet); pass a dataset name, a ``{"mean","std"}`` dict, or
-        ``None`` to disable (inputs already normalized)."""
+        ``None`` to disable (inputs already normalized).
+
+        ``quantize="int8"``: post-training int8 quantization of the
+        measured-profitable pointwise convs (nn/quant.py — per-channel
+        weight scales, static per-tensor activation scales).
+        ``calibration``: (N, H, W, C) uint8/float images for the range
+        observation pass (same distribution as serving traffic); when
+        omitted, random images of ``input_size`` are used — functional,
+        but real calibration data gives tighter ranges."""
         self.model = models.build(model_name, **(model_config or {}))
         self.policy = get_policy(dtype)
         self.batch_size = batch_size
@@ -106,8 +116,7 @@ class Predictor:
         policy = self.policy
         mean, std = self._mean, self._std
 
-        @jax.jit
-        def forward(params, state, x):
+        def prep(x):
             # uint8 inputs are scaled on-device: the host→device
             # transfer then moves 1 byte/px instead of 4 (PCIe/link
             # bandwidth is the serving bottleneck at batch size).
@@ -116,8 +125,35 @@ class Predictor:
                 x = x.astype(policy.compute_dtype) / 255.0
             if mean is not None:
                 x = (x - mean.astype(x.dtype)) / std.astype(x.dtype)
-            ctx = Context(train=False, policy=policy, impl=self.impl)
-            logits, _ = model(params, state, policy.cast_to_compute(x), ctx)
+            return policy.cast_to_compute(x)
+
+        self.act_scales = None
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"quantize={quantize!r}: only 'int8' "
+                                 f"is supported")
+            from convnet_tpu.nn.quant import calibrate
+            calib = calibration
+            if calib is None:
+                calib = np.random.default_rng(0).integers(
+                    0, 256, (16, input_size, input_size, 3), np.uint8)
+            calib = np.asarray(calib)
+            batches = [prep(jnp.asarray(calib[i:i + 32]))
+                       for i in range(0, len(calib), 32)]
+            self.act_scales = tuple(calibrate(
+                self.model, self.params, self.state, batches,
+                ctx_kwargs={"policy": policy, "impl": self.impl}))
+        act_scales = self.act_scales
+
+        @jax.jit
+        def forward(params, state, x):
+            quant_ctx = None
+            if act_scales is not None:
+                from convnet_tpu.nn.quant import QuantCtx
+                quant_ctx = QuantCtx("int8", list(act_scales))
+            ctx = Context(train=False, policy=policy, impl=self.impl,
+                          quant=quant_ctx)
+            logits, _ = model(params, state, prep(x), ctx)
             return logits.astype(jnp.float32)
 
         self._forward = forward
