@@ -84,7 +84,10 @@ def main():
     except Exception:
         step_flops = None
     if not step_flops:
-        step_flops = 3 * 4.09e9 * batch * (image / 224) ** 2
+        # 4.09e9 is ResNet-50's forward MAC count; the peak table (and
+        # XLA's cost analysis) count FMA as 2 FLOPs, and training is
+        # ~3x the forward
+        step_flops = 3 * 2 * 4.09e9 * batch * (image / 224) ** 2
     # bf16 matmul peak by device generation; unknown generations fall
     # back to the v5e figure and say so in the output
     kind = jax.devices()[0].device_kind.lower()

@@ -189,12 +189,17 @@ class DataLoader:
                                      and mostly_jpeg)
 
         def _native_spec_kwargs(b):
-            # shared decode parameters for both native entry points
+            # shared decode parameters for both native entry points.
+            # process_index is in the seed: the C++ RNG keys per-sample
+            # draws by BATCH-LOCAL position, so without it every host
+            # of a multi-host run would draw the identical crop stream
+            # (the PIL path decorrelates via the global dataset index).
             return dict(
                 train=(spec["kind"] == "rrc"),
                 out_size=spec["out_size"],
                 scale_size=spec.get("scale_size", 0),
-                seed=hash((self.seed, self.epoch, b)) & (2 ** 63 - 1),
+                seed=hash((self.seed, self.epoch, b, self.process_index))
+                     & (2 ** 63 - 1),
                 scale=spec.get("scale", (0.08, 1.0)),
                 ratio=spec.get("ratio", (3 / 4, 4 / 3)),
                 duplicates=dup,
@@ -245,12 +250,16 @@ class DataLoader:
         def native_files_batch(b, idx):
             from convnet_tpu.data import native as _native
             idx = [int(i) for i in idx]
-            blobs, labels = [], []
-            for i in idx:
-                path, label = self.dataset.samples[i]
-                with open(path, "rb") as f:
-                    blobs.append(f.read())
-                labels.append(label)
+            labels = [self.dataset.samples[i][1] for i in idx]
+
+            def _read(i):
+                with open(self.dataset.samples[i][0], "rb") as f:
+                    return f.read()
+
+            # fan file reads over the worker pool — on high-latency
+            # storage (NFS/GCS-fuse) serial open()/read() of a 256-image
+            # batch would dominate the batch time before decode starts
+            blobs = list(pool.map(_read, idx))
             decoded = _native.decode_blobs(blobs, **_native_spec_kwargs(b))
             return _finish_native(idx, labels, decoded)
 

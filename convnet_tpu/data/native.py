@@ -180,6 +180,34 @@ def jpeg_available() -> bool:
     return _load_jpeg() is not None
 
 
+def _decode_call(entry, first_arg, offsets, sizes, *, train, out_size,
+                 scale_size, seed, scale, ratio, duplicates, threads):
+    """Shared ctypes tail for both decode entry points — the 13
+    positional arguments after the source argument must stay in
+    lockstep with the C ABI (native/jpegdec.cpp decode_batch_impl),
+    so they are marshalled in exactly one place."""
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    n = len(offsets)
+    dup = max(int(duplicates), 1)
+    out = np.empty((n * dup, out_size, out_size, 3), np.uint8)
+    fail = np.empty(n, np.uint8)
+    got = entry(
+        first_arg,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, 0 if train else 1, out_size, scale_size,
+        ctypes.c_uint64(seed & (2 ** 64 - 1)),
+        float(scale[0]), float(scale[1]), float(ratio[0]), float(ratio[1]),
+        dup,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        fail.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        threads)
+    if got < 0:
+        return None
+    return out, fail.astype(bool)
+
+
 def decode_batch(tar_path: str, offsets, sizes, *, train: bool,
                  out_size: int = 224, scale_size: int = 0,
                  seed: int = 0, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
@@ -193,26 +221,10 @@ def decode_batch(tar_path: str, offsets, sizes, *, train: bool,
     lib = _load_jpeg()
     if lib is None:
         return None
-    offsets = np.ascontiguousarray(offsets, np.int64)
-    sizes = np.ascontiguousarray(sizes, np.int64)
-    n = len(offsets)
-    dup = max(int(duplicates), 1)
-    out = np.empty((n * dup, out_size, out_size, 3), np.uint8)
-    fail = np.empty(n, np.uint8)
-    got = lib.ctpu_decode_batch(
-        tar_path.encode(),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n, 0 if train else 1, out_size, scale_size,
-        ctypes.c_uint64(seed & (2 ** 64 - 1)),
-        float(scale[0]), float(scale[1]), float(ratio[0]), float(ratio[1]),
-        dup,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        fail.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        threads)
-    if got < 0:
-        return None
-    return out, fail.astype(bool)
+    return _decode_call(
+        lib.ctpu_decode_batch, tar_path.encode(), offsets, sizes,
+        train=train, out_size=out_size, scale_size=scale_size, seed=seed,
+        scale=scale, ratio=ratio, duplicates=duplicates, threads=threads)
 
 
 def decode_blobs(blobs, *, train: bool = False, out_size: int = 224,
@@ -229,21 +241,9 @@ def decode_blobs(blobs, *, train: bool = False, out_size: int = 224,
     offsets = np.zeros(len(blobs), np.int64)
     np.cumsum(sizes[:-1], out=offsets[1:])
     base = np.frombuffer(b"".join(blobs), np.uint8)
-    n = len(blobs)
-    dup = max(int(duplicates), 1)
-    out = np.empty((n * dup, out_size, out_size, 3), np.uint8)
-    fail = np.empty(n, np.uint8)
-    got = lib.ctpu_decode_batch_mem(
+    return _decode_call(
+        lib.ctpu_decode_batch_mem,
         base.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n, 0 if train else 1, out_size, scale_size,
-        ctypes.c_uint64(seed & (2 ** 64 - 1)),
-        float(scale[0]), float(scale[1]), float(ratio[0]), float(ratio[1]),
-        dup,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        fail.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        threads)
-    if got < 0:
-        return None
-    return out, fail.astype(bool)
+        offsets, sizes,
+        train=train, out_size=out_size, scale_size=scale_size, seed=seed,
+        scale=scale, ratio=ratio, duplicates=duplicates, threads=threads)

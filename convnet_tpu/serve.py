@@ -73,6 +73,7 @@ class Predictor:
         self.policy = get_policy(dtype)
         self.batch_size = batch_size
         self.impl = impl or "xla"
+        self.input_size = input_size
 
         ckpt = None
         if checkpoint and _is_torch_checkpoint(checkpoint):
@@ -185,24 +186,31 @@ class Predictor:
 
 
 def _decode_jpeg_pil(blob, out_size, scale_size=None):
+    # decode, then route through the SAME eval transform the training
+    # pipeline tests (data/preprocess.py scale_crop_host) — serving must
+    # not fork the scale/center-crop geometry
     import io
     from PIL import Image
-    from convnet_tpu.data.preprocess import scale_center
-    import numpy as _np
-    img = Image.open(io.BytesIO(blob)).convert("RGB")
-    return _np.asarray(scale_center(img, out_size, scale_size), _np.uint8)
+    from convnet_tpu.data.preprocess import scale_crop_host
+    img = Image.open(io.BytesIO(blob))
+    return scale_crop_host(img, None, out_size=out_size,
+                           scale_size=scale_size)
 
 
 def predict_jpeg(predictor: Predictor, blobs, topk: int = 1,
-                 input_size: int = 224, threads: int = 8):
+                 input_size: Optional[int] = None, threads: int = 8):
     """Classify raw JPEG bytes end to end: native C++ decode +
     shorter-side scale + center crop (native/jpegdec.cpp, within 1 LSB
     of the PIL eval transform), then the Predictor's jitted uint8
     inference path. ``blobs``: iterable of bytes. Falls back to PIL
     per sample when the native library is unavailable or a blob fails
-    to decode."""
+    to decode. ``input_size`` defaults to the predictor's configured
+    size (which int8 calibration also used) — overriding it should be
+    rare and deliberate."""
     import numpy as _np
     from convnet_tpu.data import native
+    if input_size is None:
+        input_size = predictor.input_size
     blobs = list(blobs)
     out = native.decode_blobs(blobs, train=False, out_size=input_size,
                               threads=threads)

@@ -675,10 +675,25 @@ class Trainer:
             )
         batch_stats = jax.jit(batch_stats)
 
-        def recover(old, new, momentum=0.1):
+        # each BN layer may carry its own momentum (BatchNorm2d exposes
+        # the parameter) — walk the module tree parallel to the state
+        # tree so recover() inverts the EMA with the right per-layer m
+        # (state leaves are exclusively BN running stats; BatchNorm2d is
+        # the only module whose init() returns state)
+        def momentum_tree(module, st):
+            from convnet_tpu.nn.layers import BatchNorm2d
+            if isinstance(module, BatchNorm2d):
+                return {k: module.momentum for k in st}
+            kids = dict(module.children())
+            return {name: momentum_tree(kids[name], sub)
+                    for name, sub in st.items()}
+
+        mom = momentum_tree(self.model, state)
+
+        def recover(old, new):
             # new = (1-m)*old + m*batch  →  batch = (new - (1-m)*old)/m
             return jax.tree_util.tree_map(
-                lambda n_, o_: (n_ - (1 - momentum) * o_) / momentum, new, old)
+                lambda n_, o_, m_: (n_ - (1 - m_) * o_) / m_, new, old, mom)
 
         avg = None
         count = 0

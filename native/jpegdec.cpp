@@ -80,6 +80,14 @@ bool decode_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
   jpeg_read_header(&cinfo, TRUE);
+  // decompression-bomb guard (PIL's MAX_IMAGE_PIXELS): a crafted
+  // header can declare huge dims and the resize below would attempt a
+  // multi-GB allocation — fail the sample instead (PIL fallback path
+  // raises its own DecompressionBombError for the same input)
+  if ((uint64_t)cinfo.image_width * cinfo.image_height > 178956970ull) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
@@ -212,6 +220,7 @@ int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
       if (i >= n) return;
       fail_mask[i] = 1;
       int w = 0, h = 0;
+      try {
       if (!fetch(i, &blob)
           || !decode_rgb(blob.data(), blob.size(), &pix, &w, &h)) {
         // honor the documented contract: failed planes are ZEROED
@@ -278,6 +287,13 @@ int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
       }  // dup
       fail_mask[i] = 0;
       ok_count.fetch_add(1);
+      } catch (...) {
+        // an exception escaping a std::thread calls std::terminate and
+        // kills the whole process — any failure (bad_alloc from a
+        // pathological image, etc.) must become a per-sample fail
+        // (fail_mask already 1), leaving zeros for the PIL fallback
+        std::memset(out + (size_t)i * dup * plane, 0, dup * plane);
+      }
     }
   };
 

@@ -31,6 +31,11 @@ STOP = os.path.join(BASE, "STOP")
 os.makedirs(QUEUE, exist_ok=True)
 os.makedirs(DONE, exist_ok=True)
 
+# operator-level CONVNET_TPU_* flags exported before launch; the per-job
+# env purge restores these instead of clearing the namespace to empty
+_ENV_AT_LAUNCH = {k: v for k, v in os.environ.items()
+                  if k.startswith("CONVNET_TPU_")}
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,10 +88,14 @@ def run_job(path):
         if mod.startswith("convnet_tpu") or mod == "bench":
             del sys.modules[mod]
     # A crashing job must not leak its env toggles into the next one
-    # (job 033 left CONVNET_TPU_POOL_BWD=pallas set, breaking job 034).
+    # (job 033 left CONVNET_TPU_POOL_BWD=pallas set, breaking job 034)
+    # — but flags exported at worker LAUNCH are operator-level defaults
+    # (e.g. a session-wide CONVNET_TPU_NATIVE_DECODE=0 A/B arm) and must
+    # survive: restore the startup snapshot instead of clearing to empty.
     for key in list(os.environ):
         if key.startswith("CONVNET_TPU_"):
             del os.environ[key]
+    os.environ.update(_ENV_AT_LAUNCH)
 
     src = open(path).read()
     ns = {

@@ -181,6 +181,63 @@ def test_dataloader_native_imagefolder(tmp_path):
     assert all(x.std() > 0 for x in xs)  # every member decoded (incl. png)
 
 
+def test_dataloader_native_multihost_decorrelation(tmp_path):
+    """Multi-host: the native decode seed must include process_index —
+    the C++ RNG keys per-sample draws by BATCH-LOCAL position, so
+    without it every host draws the identical crop stream. With a tar
+    of IDENTICAL images, correlated streams would make host 0's and
+    host 1's batches bit-equal."""
+    from PIL import Image
+    from convnet_tpu.data.loader import DataLoader
+    from convnet_tpu.data.preprocess import get_transform
+    img = (np.random.default_rng(3).random((96, 96, 3)) * 255).astype(
+        np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92)
+    data = buf.getvalue()
+    path = str(tmp_path / "same.tar")
+    with tarfile.open(path, "w") as tf:
+        for i in range(8):
+            info = tarfile.TarInfo(name=f"cls0/im{i}.jpg")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    ds = IndexedTarDataset(path)
+    tfm = get_transform("imagenet", input_size=48, augment=True)
+    batches = []
+    for rank in range(2):
+        dl = DataLoader(ds, batch_size=4, transform=tfm, shuffle=False,
+                        num_workers=2, device_transform=False,
+                        process_index=rank, process_count=2)
+        batches.append(next(iter(dl))[0])
+    assert (batches[0] != batches[1]).any()
+
+
+def test_predict_jpeg_defaults_to_predictor_input_size(jpeg_tar,
+                                                       monkeypatch):
+    """predict_jpeg with no explicit size must decode at the
+    Predictor's configured input_size (which int8 calibration also
+    used), not a hardcoded 224."""
+    from convnet_tpu.data import native as native_mod
+    from convnet_tpu.serve import Predictor, predict_jpeg
+    seen = {}
+    orig = native_mod.decode_blobs
+
+    def spy(blobs, **kw):
+        seen.update(kw)
+        return orig(blobs, **kw)
+
+    monkeypatch.setattr(native_mod, "decode_blobs", spy)
+    ds = IndexedTarDataset(jpeg_tar)
+    blobs = ds.read_blobs(np.arange(2))
+    pred = Predictor("resnet", {"depth": 8, "dataset": "cifar10",
+                                "num_classes": 10},
+                     dtype="fp32", batch_size=2, normalize="imagenet",
+                     input_size=32)
+    classes = predict_jpeg(pred, blobs)
+    assert seen["out_size"] == 32
+    assert classes.shape == (2,)
+
+
 def test_native_decode_env_kill_switch(jpeg_tar, monkeypatch):
     """CONVNET_TPU_NATIVE_DECODE=0 forces the PIL path (repro/debug
     escape hatch) — output batches still come through."""

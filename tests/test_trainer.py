@@ -137,6 +137,43 @@ def test_calibrate_bn():
     assert float(jnp.max(jnp.abs(m))) > 0
 
 
+def test_calibrate_bn_respects_bn_momentum():
+    """recover() must invert each BN layer's OWN EMA momentum — with a
+    hardcoded 0.1 a momentum=0.01 layer's recovered moments would be
+    dominated by the stale running stats (review fix, round 3)."""
+    from convnet_tpu.core.module import Module
+    from convnet_tpu.nn.layers import BatchNorm2d, Conv2d
+
+    class Tiny(Module):
+        def __init__(self, momentum):
+            self.conv = Conv2d(3, 8, 3, padding=1)
+            self.bn = BatchNorm2d(8, momentum=momentum)
+
+        def __call__(self, params, state, x, ctx):
+            y, _ = self.conv(params["conv"], {}, x, ctx)
+            y, s = self.bn(params["bn"], state["bn"], y, ctx)
+            return y, {"bn": s}
+
+    batch = [(np.random.default_rng(0)
+              .standard_normal((16, 8, 8, 3)).astype(np.float32),
+              np.zeros(16, np.int32))]
+    stats = {}
+    for m in (0.1, 0.01):
+        model = Tiny(momentum=m)
+        optim = OptimRegime([{"optimizer": "SGD", "lr": 0.1}])
+        tr = Trainer(model, optim, 10, TrainerConfig(print_freq=0))
+        params, state = model.init(jax.random.PRNGKey(0))
+        stats[m] = tr.calibrate_bn(batch, params, state, num_steps=1)
+    # the recovered BATCH moments are a property of the data alone —
+    # identical whatever EMA momentum the layer was built with
+    np.testing.assert_allclose(
+        np.asarray(stats[0.1]["bn"]["mean"]),
+        np.asarray(stats[0.01]["bn"]["mean"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stats[0.1]["bn"]["var"]),
+        np.asarray(stats[0.01]["bn"]["var"]), rtol=1e-4, atol=1e-5)
+
+
 def _one_step(tr, params, state, opt_state, x, y, rng_seed=5):
     tr.optim.update(0, 0)
     hp = tr._hp_device(tr.optim.hyperparams())
