@@ -324,7 +324,8 @@ def main(argv=None):
                  "params": params, "state": state, "opt_state": opt_state,
                  "best_prec1": best_prec1,
                  "training_steps": trainer.training_steps},
-                is_best, save_path, save_all=args.save_all)
+                is_best, save_path, save_all=args.save_all,
+                background=True)  # overlap disk write w/ next epoch
 
         log.info("epoch %d: train loss %.4f prec1 %.2f | val loss %.4f "
                  "prec1 %.2f prec5 %.2f | best %.2f | step p50 %.1f ms",

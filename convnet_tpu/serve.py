@@ -62,9 +62,13 @@ class Predictor:
         imagenet); pass a dataset name, a ``{"mean","std"}`` dict, or
         ``None`` to disable (inputs already normalized).
 
-        ``quantize="int8"``: post-training int8 quantization of the
-        measured-profitable pointwise convs (nn/quant.py — per-channel
-        weight scales, static per-tensor activation scales).
+        ``quantize="int8"``: opt-in post-training int8 quantization of
+        eligible pointwise convs (nn/quant.py — per-channel weight
+        scales, static per-tensor activation scales). NOTE: measured
+        SLOWER than bf16 at model level on this backend (the bf16 model
+        is bandwidth-bound inside XLA mega-fusions; see nn/quant.py
+        docstring + scripts/PERF_NOTES.md jobs 061-064) — ships for
+        accuracy-tested capability on backends where the trade flips.
         ``calibration``: (N, H, W, C) uint8/float images for the range
         observation pass (same distribution as serving traffic); when
         omitted, random images of ``input_size`` are used — functional,

@@ -12,15 +12,43 @@ are NOT checkpointed — regimes recompute from (epoch, step)
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
-from typing import Any, Dict
+import threading
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
 
 _SEP = "/"
+
+# at most ONE background checkpoint write in flight (the next save — or
+# process exit — joins it first); a failed write surfaces at the join
+_pending_save: Optional[threading.Thread] = None
+_pending_error: Optional[BaseException] = None
+_pending_lock = threading.Lock()
+
+
+def wait_for_pending_save():
+    """Join the in-flight background checkpoint write, if any, and
+    re-raise its error. Called automatically at the start of every
+    ``save_checkpoint`` and at interpreter exit — training code only
+    needs it when reading a just-written checkpoint back."""
+    global _pending_save, _pending_error
+    with _pending_lock:
+        t = _pending_save
+        _pending_save = None
+    if t is not None:
+        t.join()
+    with _pending_lock:
+        err, _pending_error = _pending_error, None
+    if err is not None:
+        raise err
+
+
+atexit.register(wait_for_pending_save)
 
 
 def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
@@ -45,10 +73,19 @@ def unflatten_tree(flat: Dict[str, np.ndarray]):
 
 
 def save_checkpoint(ckpt: Dict[str, Any], is_best: bool, path: str = ".",
-                    filename: str = "checkpoint.npz", save_all: bool = False):
+                    filename: str = "checkpoint.npz", save_all: bool = False,
+                    background: bool = False):
     """``ckpt`` = {'epoch', 'model', 'config', 'params', 'state',
     'opt_state', 'best_prec1', 'training_steps'} — array trees are
-    flattened; scalars/strings go into a JSON meta blob."""
+    flattened; scalars/strings go into a JSON meta blob.
+
+    ``background=True`` overlaps the npz serialization + atomic rename
+    with training: the device→host fetch still happens synchronously
+    (the next train step DONATES the very buffers being saved — they
+    must be off-device before returning), but the disk write runs in a
+    daemon thread. At most one write is in flight; the next save (or
+    process exit) joins it, and any write error re-raises there."""
+    wait_for_pending_save()
     os.makedirs(path, exist_ok=True)
     arrays: Dict[str, np.ndarray] = {}
     meta: Dict[str, Any] = {}
@@ -81,15 +118,35 @@ def save_checkpoint(ckpt: Dict[str, Any], is_best: bool, path: str = ".",
         json.dumps(meta, default=str).encode(), dtype=np.uint8)
 
     target = os.path.join(path, filename)
-    tmp = target + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, **arrays)
-    os.replace(tmp, target)  # atomic on the same filesystem
-    if is_best:
-        shutil.copyfile(target, os.path.join(path, "model_best.npz"))
-    if save_all and "epoch" in meta:
-        shutil.copyfile(target, os.path.join(
-            path, f"checkpoint_epoch_{meta['epoch']}.npz"))
+
+    def write():
+        tmp = target + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, target)  # atomic on the same filesystem
+        if is_best:
+            shutil.copyfile(target, os.path.join(path, "model_best.npz"))
+        if save_all and "epoch" in meta:
+            shutil.copyfile(target, os.path.join(
+                path, f"checkpoint_epoch_{meta['epoch']}.npz"))
+
+    if background:
+        def guarded():
+            global _pending_error
+            try:
+                write()
+            except BaseException as e:  # surfaced at the next join
+                with _pending_lock:
+                    _pending_error = e
+
+        global _pending_save
+        t = threading.Thread(target=guarded, daemon=True,
+                             name="ckpt-write")
+        with _pending_lock:
+            _pending_save = t
+        t.start()
+    else:
+        write()
     return target
 
 

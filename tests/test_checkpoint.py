@@ -55,6 +55,43 @@ def test_bf16_roundtrip(tmp_path):
         np.asarray(ckpt["params"]["w"], np.float32), np.ones(4, np.float32))
 
 
+def test_background_save(tmp_path):
+    """background=True defers the disk write to a daemon thread; the
+    next save (or an explicit wait) joins it. Donation safety: the
+    arrays are host-fetched before save_checkpoint returns, so the
+    caller may immediately donate/overwrite the device buffers."""
+    from convnet_tpu.utils.checkpoint import wait_for_pending_save
+    params = {"w": jnp.arange(8, dtype=jnp.float32)}
+    f = save_checkpoint({"epoch": 1, "params": params}, is_best=True,
+                        path=str(tmp_path), background=True)
+    wait_for_pending_save()
+    assert os.path.exists(f)
+    assert os.path.exists(tmp_path / "model_best.npz")
+    ckpt = load_checkpoint(str(tmp_path))
+    np.testing.assert_array_equal(ckpt["params"]["w"], np.arange(8, dtype="f4"))
+    # a second background save implicitly joins the first
+    save_checkpoint({"epoch": 2, "params": params}, False, str(tmp_path),
+                    background=True)
+    wait_for_pending_save()
+    assert load_checkpoint(str(tmp_path))["epoch"] == 2
+
+
+def test_background_save_error_surfaces(tmp_path):
+    """A failed background WRITE re-raises at the join, not silently.
+    The failure is staged inside the daemon thread (tmp file path is a
+    directory, so ``open(tmp, 'wb')`` raises there) — the foreground
+    save_checkpoint call itself returns normally."""
+    import pytest
+    from convnet_tpu.utils.checkpoint import wait_for_pending_save
+    os.makedirs(tmp_path / "checkpoint.npz.tmp")  # blocks open(tmp,'wb')
+    save_checkpoint({"epoch": 2, "params": {"w": jnp.ones(2)}},
+                    False, str(tmp_path), background=True)
+    with pytest.raises(IsADirectoryError):
+        wait_for_pending_save()
+    # the error is consumed — a later wait is clean
+    wait_for_pending_save()
+
+
 def test_average_meter():
     m = AverageMeter()
     m.update(1.0, 2)
