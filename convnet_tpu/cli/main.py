@@ -20,6 +20,8 @@ import os
 from datetime import datetime
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 log = logging.getLogger(__name__)
 
@@ -110,6 +112,10 @@ def build_parser():
                    help="fold BN into convs before evaluation")
     p.add_argument("--print-freq", type=int, default=50)
     p.add_argument("--save-all", action="store_true")
+    p.add_argument("--save-freq", type=int, default=0, metavar="N",
+                   help="also checkpoint every N training steps "
+                        "(preemption recovery on TPU pods; resume "
+                        "continues mid-epoch, bit-exact)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of epoch 0")
     p.add_argument("--debug-nans", action="store_true",
@@ -231,6 +237,7 @@ def main(argv=None):
         log.info("imported torch checkpoint '%s' (epoch %s, best_prec1 %s)",
                  args.import_torch, meta.get("epoch"),
                  meta.get("best_prec1"))
+    start_batch = 0
     if args.resume or args.evaluate:
         ckpt_path = args.resume or args.evaluate
         ckpt = load_checkpoint(ckpt_path)
@@ -239,8 +246,16 @@ def main(argv=None):
         best_prec1 = float(ckpt.get("best_prec1", 0.0))
         start_epoch = int(ckpt.get("epoch", -1)) + 1
         training_steps = int(ckpt.get("training_steps", 0))
-        log.info("loaded checkpoint '%s' (epoch %s)", ckpt_path,
-                 ckpt.get("epoch"))
+        # a --save-freq mid-epoch checkpoint carries batch_idx: resume
+        # INSIDE that epoch (the loader is epoch-seeded, so the skipped
+        # batches replay identically)
+        batch_idx = int(ckpt.get("batch_idx", 0) or 0)
+        if args.resume and batch_idx:
+            start_epoch = int(ckpt["epoch"])
+            start_batch = batch_idx
+        log.info("loaded checkpoint '%s' (epoch %s%s)", ckpt_path,
+                 ckpt.get("epoch"),
+                 f", batch {batch_idx}" if batch_idx else "")
 
     params, state, opt_state = trainer.initialize(params, state)
     if args.resume and ckpt.get("opt_state") is not None:
@@ -250,6 +265,10 @@ def main(argv=None):
         # re-replicating a sharded moment vector would undo ZeRO-1
         opt_state = tree_place_like(restored, opt_state)
     trainer.training_steps = training_steps
+    if args.resume and ckpt is not None and ckpt.get("rng") is not None:
+        # restore the trainer's PRNG stream (mixup/augment keys) — makes
+        # the resumed trajectory bit-identical to the uninterrupted one
+        trainer.rng = jnp.asarray(np.asarray(ckpt["rng"], np.uint32))
 
     # ---- data regimes (model may author its own) --------------------
     defaults = {
@@ -302,8 +321,23 @@ def main(argv=None):
             except Exception as e:  # device-side tracing may be
                 log.warning("profiler unavailable: %s", e)  # unsupported
                 profiling = False
+        step_hook = None
+        if args.save_freq and jax.process_index() == 0:
+            def step_hook(p, s, o, batch_idx, _epoch=epoch):
+                if batch_idx % args.save_freq:
+                    return
+                save_checkpoint(
+                    {"epoch": _epoch, "batch_idx": batch_idx,
+                     "model": args.model, "config": model_config,
+                     "params": p, "state": s, "opt_state": o,
+                     "best_prec1": best_prec1,
+                     "training_steps": trainer.training_steps,
+                     "rng": np.asarray(trainer.rng).tolist()},
+                    False, save_path, background=True)
         params, state, opt_state, train_res = trainer.train_epoch(
-            train_data.get_loader(), params, state, opt_state, epoch)
+            train_data.get_loader(), params, state, opt_state, epoch,
+            start_batch=start_batch if epoch == start_epoch else 0,
+            step_hook=step_hook)
         if profiling:
             try:
                 jax.profiler.stop_trace()
@@ -323,7 +357,8 @@ def main(argv=None):
                 {"epoch": epoch, "model": args.model, "config": model_config,
                  "params": params, "state": state, "opt_state": opt_state,
                  "best_prec1": best_prec1,
-                 "training_steps": trainer.training_steps},
+                 "training_steps": trainer.training_steps,
+                 "rng": np.asarray(trainer.rng).tolist()},
                 is_best, save_path, save_all=args.save_all,
                 background=True)  # overlap disk write w/ next epoch
 

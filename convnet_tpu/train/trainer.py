@@ -518,8 +518,22 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train_epoch(self, loader, params, state, opt_state, epoch: int,
-                    steps_per_epoch: Optional[int] = None):
-        """One training epoch. Returns (params, state, opt_state, results)."""
+                    steps_per_epoch: Optional[int] = None,
+                    start_batch: int = 0, step_hook=None):
+        """One training epoch. Returns (params, state, opt_state, results).
+
+        ``start_batch``: skip the first K batches — mid-epoch resume
+        after preemption. The loader is epoch-seeded (deterministic
+        batch order/augmentation per (seed, epoch)), and skipped
+        batches are consumed WITHOUT advancing the trainer RNG, so a
+        resume that restores ``self.rng`` from the checkpoint replays
+        the uninterrupted trajectory exactly. Epoch metrics cover only
+        the remaining batches.
+
+        ``step_hook(params, state, opt_state, batch_idx)``: called
+        after each step — the CLI's ``--save-freq`` periodic
+        checkpointing attaches here.
+        """
         self.epoch = epoch
         meters = {k: AverageMeter() for k in
                   ("loss", "grad_norm", "data_time", "step_time")}
@@ -532,6 +546,9 @@ class Trainer:
         t_epoch0 = time.perf_counter()
         t_last = time.perf_counter()
         for i, (x, y) in enumerate(loader):
+            if i < start_batch:
+                t_last = time.perf_counter()
+                continue
             t_data = time.perf_counter()
             frac_epoch = epoch + (i / spe if spe else 0)
             structural = self.optim.update(frac_epoch, self.training_steps)
@@ -547,6 +564,8 @@ class Trainer:
             params, state, opt_state, metrics = step_fn(
                 params, state, opt_state, x, y, hp, step_rng)
             self.training_steps += 1
+            if step_hook is not None:
+                step_hook(params, state, opt_state, i + 1)
             t_step = time.perf_counter()
 
             pending.append((metrics, bsz, t_data - t_last, t_step - t_data))

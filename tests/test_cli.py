@@ -130,6 +130,55 @@ def test_cli_zero1_resume(tmp_path):
     assert rows[-1]["epoch"] == 1
 
 
+def test_save_freq_preemption_resume_bitexact(tmp_path, monkeypatch):
+    """--save-freq N checkpoints mid-epoch; a preempted run resumed
+    from such a checkpoint replays the rest of the epoch bit-exactly
+    (epoch-seeded loader + restored trainer RNG stream). Preemption is
+    simulated by raising right after the first mid-epoch save."""
+    import convnet_tpu.utils.checkpoint as ckpt_mod
+    from convnet_tpu.utils.checkpoint import wait_for_pending_save
+
+    cfg = ["--dataset", "synthetic", "--model", "resnet",
+           "--model-config", "{'depth': 8}", "-b", "16", "--epochs", "1",
+           "--print-freq", "0", "--mixup", "0.2", "--seed", "7",
+           "--results-dir", str(tmp_path)]
+
+    # ground truth: uninterrupted epoch
+    main([*cfg, "--save", "full"])
+    wait_for_pending_save()
+    ref = ckpt_mod.load_checkpoint(str(tmp_path / "full"))
+
+    # preempted run: die right after the batch-3 mid-epoch save
+    class Preempted(Exception):
+        pass
+
+    real_save = ckpt_mod.save_checkpoint
+
+    def dying_save(ckpt, *a, **kw):
+        real_save(ckpt, *a, **kw)
+        if ckpt.get("batch_idx"):
+            raise Preempted()
+
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", dying_save)
+    with pytest.raises(Preempted):
+        main([*cfg, "--save", "pre", "--save-freq", "3"])
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", real_save)
+    wait_for_pending_save()  # the real process would join at exit
+    mid = ckpt_mod.load_checkpoint(str(tmp_path / "pre"))
+    assert mid["batch_idx"] == 3 and "rng" in mid
+
+    # resume and finish the epoch
+    main([*cfg, "--save", "pre", "--resume", str(tmp_path / "pre")])
+    wait_for_pending_save()
+    res = ckpt_mod.load_checkpoint(str(tmp_path / "pre"))
+    assert res.get("batch_idx", 0) in (0, None) or "batch_idx" not in res
+    assert res["training_steps"] == ref["training_steps"]
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(ref["params"]),
+                    jax.tree_util.tree_leaves(res["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_evaluate_with_calibrate_bn(tmp_path):
     _run(tmp_path)
     res = main([
