@@ -188,6 +188,81 @@ class Predictor:
     def __call__(self, x):
         return self.predict_logits(x)
 
+    def export(self, path: Optional[str] = None, platforms=None) -> bytes:
+        """Serialize the serving function as a self-contained StableHLO
+        artifact (``jax.export``): weights, normalization, and the
+        uint8→compute preprocessing are baked in as constants, so the
+        artifact runs anywhere a JAX/PJRT runtime exists — no model
+        code, checkpoint, or this framework required at the serving
+        site (load with ``convnet_tpu.serve.load_exported`` or raw
+        ``jax.export.deserialize``).
+
+        Input signature: ``(batch_size, input_size, input_size, 3)``
+        uint8 (the deployment path's wire format — 1 byte/px); output:
+        float32 logits. ``platforms``: lowering targets, e.g.
+        ``("tpu", "cpu")`` for a cross-platform artifact (requires
+        impl='xla' — Pallas kernels are backend-specific); default =
+        the current backend only."""
+        from jax import export as jexport
+        params, state, fwd = self.params, self.state, self._forward
+
+        def serving_fn(x):
+            return fwd(params, state, x)
+
+        spec = jax.ShapeDtypeStruct(
+            (self.batch_size, self.input_size, self.input_size, 3),
+            jnp.uint8)
+        kwargs = {"platforms": tuple(platforms)} if platforms else {}
+        exported = jexport.export(jax.jit(serving_fn), **kwargs)(spec)
+        data = exported.serialize()
+        if path is not None:
+            with open(path, "wb") as f:
+                f.write(data)
+        return bytes(data)
+
+
+class ExportedPredictor:
+    """Serve from a ``Predictor.export`` StableHLO artifact — the
+    checkpoint-free deployment endpoint. Pads/chunks arbitrary request
+    sizes to the artifact's fixed compiled batch, like ``Predictor``."""
+
+    def __init__(self, path_or_bytes):
+        from jax import export as jexport
+        data = path_or_bytes
+        if not isinstance(data, (bytes, bytearray)):
+            with open(data, "rb") as f:
+                data = f.read()
+        self._exported = jexport.deserialize(bytearray(data))
+        spec = self._exported.in_avals[0]
+        self.batch_size = int(spec.shape[0])
+        self.input_size = int(spec.shape[1])
+        self._call = jax.jit(self._exported.call)
+
+    def predict_logits(self, x) -> np.ndarray:
+        x = np.asarray(x, np.uint8)
+        n = x.shape[0]
+        outs = []
+        for i in range(0, n, self.batch_size):
+            chunk = x[i:i + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            logits = self._call(jnp.asarray(chunk))
+            outs.append(np.asarray(logits)[:self.batch_size - pad or None])
+        return np.concatenate(outs)[:n]
+
+    def predict(self, x, topk: int = 1):
+        logits = self.predict_logits(x)
+        idx = np.argsort(-logits, axis=-1)[:, :topk]
+        return idx if topk > 1 else idx[:, 0]
+
+    __call__ = predict_logits
+
+
+def load_exported(path_or_bytes) -> ExportedPredictor:
+    return ExportedPredictor(path_or_bytes)
+
 
 def _decode_jpeg_pil(blob, out_size, scale_size=None):
     # decode, then route through the SAME eval transform the training

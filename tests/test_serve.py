@@ -130,3 +130,28 @@ def test_torch_checkpoint_routing_by_content(tmp_path):
     legacy = tmp_path / "legacy.pth.tar"
     torch.save({"x": 1}, str(legacy), _use_new_zipfile_serialization=False)
     assert _is_torch_checkpoint(str(legacy)) is True
+
+
+def test_export_stablehlo_roundtrip(tmp_path):
+    """Predictor.export → self-contained StableHLO artifact →
+    ExportedPredictor serves identical logits with no model code or
+    checkpoint at the loading site (weights + preprocessing baked in)."""
+    from convnet_tpu.serve import ExportedPredictor, load_exported
+    p = Predictor("resnet", {"dataset": "cifar10", "depth": 8},
+                  dtype="float32", batch_size=4, impl="xla",
+                  input_size=32)
+    x = np.random.default_rng(2).integers(0, 256, (6, 32, 32, 3), np.uint8)
+    ref = p.predict_logits(x)
+
+    art = tmp_path / "rn8.stablehlo"
+    data = p.export(str(art))
+    assert art.exists() and art.stat().st_size == len(data)
+
+    # load from file path and from raw bytes
+    for src in (str(art), data):
+        ep = load_exported(src)
+        assert isinstance(ep, ExportedPredictor)
+        assert ep.batch_size == 4 and ep.input_size == 32
+        out = ep.predict_logits(x)  # padding/chunking: 6 = 4 + 2
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    assert load_exported(data).predict(x).shape == (6,)
