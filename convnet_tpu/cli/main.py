@@ -134,7 +134,7 @@ def main(argv=None):
     from convnet_tpu.train.trainer import Trainer, TrainerConfig
     from convnet_tpu.utils.checkpoint import (
         save_checkpoint, load_checkpoint, tree_dtype_cast_like,
-        tree_place_like)
+        tree_place_like, adapt_opt_state)
     from convnet_tpu.utils.log import (
         setup_logging, ResultsLog, export_args_namespace)
     from convnet_tpu.utils.misc import set_global_seeds
@@ -259,7 +259,10 @@ def main(argv=None):
 
     params, state, opt_state = trainer.initialize(params, state)
     if args.resume and ckpt.get("opt_state") is not None:
-        restored = tree_dtype_cast_like(ckpt["opt_state"], opt_state)
+        # elastic resume: re-fit the optimizer state to the CURRENT
+        # device count / ZeRO layout before placement
+        restored = adapt_opt_state(ckpt["opt_state"], opt_state)
+        restored = tree_dtype_cast_like(restored, opt_state)
         # preserve whatever placement initialize() chose for each leaf
         # (fully replicated, or ZeRO-1 P(data)-sharded flat moments) —
         # re-replicating a sharded moment vector would undo ZeRO-1
@@ -312,6 +315,13 @@ def main(argv=None):
 
     # ---- epoch loop (call stack §3.1 outer loop) --------------------
     results = ResultsLog(save_path, title=f"{args.model} on {args.dataset}")
+    if args.resume:
+        # reference parity (utils/log.py ~70–250 approx.): a resumed run
+        # appends to the previous curves; drop rows from epochs the
+        # resume will re-train
+        results.load()
+        results.rows = [r for r in results.rows
+                        if int(r.get("epoch", -1)) < start_epoch]
     for epoch in range(start_epoch, args.epochs):
         train_data.set_epoch(epoch, trainer.training_steps)
         profiling = args.profile and epoch == start_epoch

@@ -20,6 +20,7 @@ import threading
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 _SEP = "/"
@@ -185,6 +186,74 @@ def tree_place_like(tree, template):
         lambda loaded, cur: (jax.device_put(loaded, cur.sharding)
                              if hasattr(cur, "sharding") else loaded),
         tree, template)
+
+
+def adapt_opt_state(loaded, template):
+    """Elastic resume: fit a loaded optimizer state to the CURRENT
+    run's layout. Three mismatches are adapted (all arise from changing
+    the device count or toggling --shard-opt-state between save and
+    resume — the checkpoint stores full arrays, so no information is
+    lost):
+
+    - flat → flat, different length: ZeRO-1 moment vectors are flat
+      params padded to a multiple of the data-parallel degree
+      (parallel/zero.py flat_size; e.g. 78048 @ 8 devices vs 78044
+      @ 4). Keep the true prefix, re-zero-pad (the tail is zeros by
+      construction — padded grads are zero, so padded moments stay
+      zero).
+    - tree → flat (resume adds --shard-opt-state): ravel the loaded
+      per-parameter moment tree in ravel_pytree order (the order the
+      ZeRO step uses) and pad.
+    - flat → tree (resume drops --shard-opt-state): unravel the true
+      prefix into the template's tree structure.
+
+    Slots the template has but the checkpoint lacks (optimizer class
+    switched across the resume) keep the template's fresh init; extra
+    checkpoint slots are dropped with a warning. Parameter trees are
+    NOT handled here — genuine model mismatches still fail loudly on
+    the shape-checked parameter restore."""
+    import logging
+    from jax.flatten_util import ravel_pytree
+    logger = logging.getLogger(__name__)
+
+    def fit(cur, old):
+        cur_flat = getattr(cur, "ndim", None) == 1
+        old_flat = getattr(old, "ndim", None) == 1
+        if isinstance(old, dict) and isinstance(cur, dict):
+            return {k: fit(v, old[k]) if k in old else v
+                    for k, v in cur.items()}
+        if isinstance(old, dict) and cur_flat:        # tree → flat
+            flat, _ = ravel_pytree(
+                jax.tree_util.tree_map(np.asarray, old))
+            out = np.zeros(int(cur.shape[0]), flat.dtype)
+            out[:flat.shape[0]] = np.asarray(flat)
+            return out
+        if old_flat and isinstance(cur, dict):        # flat → tree
+            ref_flat, unravel = ravel_pytree(cur)
+            return jax.tree_util.tree_map(
+                np.asarray,
+                unravel(jnp.asarray(np.asarray(old)[:ref_flat.size])))
+        if (old_flat and cur_flat
+                and np.shape(old) != np.shape(cur)):  # re-pad
+            out = np.zeros(int(np.shape(cur)[0]), np.asarray(old).dtype)
+            m = min(out.shape[0], int(np.shape(old)[0]))
+            out[:m] = np.asarray(old)[:m]
+            return out
+        return old
+
+    out = {}
+    for key, cur in template.items():
+        if key in loaded:
+            out[key] = fit(cur, loaded[key])
+        else:
+            logger.warning("opt_state slot %r absent from checkpoint "
+                           "(optimizer switched?) — keeping fresh init", key)
+            out[key] = cur
+    for key in loaded:
+        if key not in template:
+            logger.warning("dropping checkpoint opt_state slot %r not "
+                           "used by the current optimizer", key)
+    return out
 
 
 def tree_dtype_cast_like(tree, template):

@@ -141,3 +141,41 @@ def test_results_log_html(tmp_path):
     assert html.count("<svg") == 1
     assert "train_loss @ epoch=3" in html  # hover tooltip with value
     assert "<path" in html  # line series
+
+
+def test_adapt_opt_state_elastic():
+    """Elastic resume conversions (utils/checkpoint.adapt_opt_state):
+    flat↔flat re-pad across device counts, tree→flat and flat→tree
+    across --shard-opt-state toggles, missing/extra slot handling."""
+    from convnet_tpu.utils.checkpoint import adapt_opt_state
+    tree = {"a": np.arange(4, dtype=np.float32),
+            "b": {"w": np.arange(6, dtype=np.float32).reshape(2, 3) + 10}}
+    import jax
+    from jax.flatten_util import ravel_pytree
+    flat_true, _ = ravel_pytree(tree)          # 10 elements
+    flat8 = np.pad(np.asarray(flat_true), (0, 6))   # padded to 16 (8-dev)
+    flat4 = np.pad(np.asarray(flat_true), (0, 2))   # padded to 12 (4-dev)
+
+    # flat(16) → flat(12): re-pad
+    out = adapt_opt_state({"mu": flat8, "step": np.int32(5)},
+                          {"mu": jnp.zeros(12), "step": jnp.int32(0)})
+    np.testing.assert_array_equal(out["mu"], flat4)
+    assert int(out["step"]) == 5
+
+    # tree → flat(16): ravel + pad
+    out = adapt_opt_state({"mu": tree, "step": np.int32(2)},
+                          {"mu": jnp.zeros(16), "step": jnp.int32(0)})
+    np.testing.assert_array_equal(out["mu"], flat8)
+
+    # flat(16) → tree: unravel prefix
+    tmpl = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    out = adapt_opt_state({"mu": flat8, "step": np.int32(2)},
+                          {"mu": tmpl, "step": jnp.int32(0)})
+    np.testing.assert_array_equal(out["mu"]["a"], tree["a"])
+    np.testing.assert_array_equal(out["mu"]["b"]["w"], tree["b"]["w"])
+
+    # missing slot keeps fresh init; extra slot dropped
+    out = adapt_opt_state({"mu": flat8, "legacy": np.ones(3)},
+                          {"mu": jnp.zeros(16), "v": jnp.ones(16) * 3})
+    np.testing.assert_array_equal(out["v"], np.ones(16) * 3)
+    assert "legacy" not in out

@@ -200,3 +200,27 @@ def test_profile_flag_writes_trace(tmp_path):
     traces = glob.glob(str(tmp_path / "t" / "profile" / "**" / "*.trace.json.gz"),
                        recursive=True)
     assert traces, "no trace file produced by --profile"
+
+
+def test_elastic_resume_across_device_counts(tmp_path):
+    """A checkpoint from an 8-device data-parallel run resumes on 4
+    devices and on 1 device (and a ZeRO-1 sharded run re-shards to the
+    new mesh): checkpoints store full arrays, and restore re-places
+    them under the CURRENT mesh — world-size changes across
+    preemptions must not invalidate training state."""
+    base = ["--dataset", "synthetic", "--model", "resnet",
+            "--model-config", "{'depth': 8}", "-b", "16",
+            "--print-freq", "0", "--results-dir", str(tmp_path),
+            "--save", "el"]
+    main([*base, "--epochs", "1", "--num-devices", "8", "--sync-bn",
+          "--shard-opt-state"])
+    # shrink to 4 devices (ZeRO-1 moments re-shard 8-way -> 4-way)
+    main([*base, "--epochs", "2", "--num-devices", "4", "--sync-bn",
+          "--shard-opt-state", "--resume", str(tmp_path / "el")])
+    # ... and down to a single device, plain data parallel
+    main([*base, "--epochs", "3", "--num-devices", "1",
+          "--resume", str(tmp_path / "el")])
+    rows = json.loads((tmp_path / "el" / "results.json").read_text())
+    # resumed runs append to the SAME curves (ResultsLog reload)
+    assert [r["epoch"] for r in rows] == [0, 1, 2]
+    assert all(np.isfinite(r["train_loss"]) for r in rows)
