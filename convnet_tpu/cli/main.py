@@ -122,6 +122,11 @@ def build_parser():
                    help="enable jax nan-checking (debug runs)")
     p.add_argument("--tensorwatch", action="store_true",
                    help="stream per-step telemetry to results/<save>/watch.jsonl")
+    p.add_argument("--compile-cache", default=os.environ.get(
+                       "CONVNET_TPU_COMPILE_CACHE", ""), metavar="DIR",
+                   help="persistent XLA compilation cache directory — "
+                        "relaunches/resumes skip recompiling the train "
+                        "step (env: CONVNET_TPU_COMPILE_CACHE)")
     return p
 
 
@@ -158,6 +163,10 @@ def main(argv=None):
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.compile_cache:
+        from convnet_tpu.utils.misc import enable_compile_cache
+        enable_compile_cache(args.compile_cache)
+        log.info("persistent compilation cache: %s", args.compile_cache)
     set_global_seeds(args.seed)
 
     # ---- model (embedded regime) ------------------------------------

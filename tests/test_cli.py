@@ -224,3 +224,19 @@ def test_elastic_resume_across_device_counts(tmp_path):
     # resumed runs append to the SAME curves (ResultsLog reload)
     assert [r["epoch"] for r in rows] == [0, 1, 2]
     assert all(np.isfinite(r["train_loss"]) for r in rows)
+
+
+def test_compile_cache_flag(tmp_path):
+    """--compile-cache populates a persistent XLA compilation cache
+    (relaunch/resume skips the train-step compile)."""
+    import jax
+    cache = tmp_path / "xla-cache"
+    try:
+        _run(tmp_path, "--compile-cache", str(cache))
+        entries = list(cache.iterdir())
+        assert entries, "compilation cache is empty"
+    finally:
+        # the config is process-global and tmp_path is deleted after
+        # the test — don't leave later in-process compiles pointing at
+        # a dead directory
+        jax.config.update("jax_compilation_cache_dir", None)
