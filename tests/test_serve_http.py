@@ -111,3 +111,23 @@ def test_bad_request_and_unknown_path(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(s.port, b"{}", "application/json", path="/nope")
     assert e.value.code == 404
+
+
+def test_server_over_exported_artifact(tmp_path):
+    """PredictionServer serves a StableHLO export artifact — the
+    checkpoint-free deployment config (`--exported` in __main__)."""
+    from convnet_tpu.serve import load_exported
+    p = Predictor("resnet", {"dataset": "cifar10", "depth": 8},
+                  dtype="float32", batch_size=4, impl="xla", input_size=32)
+    art = tmp_path / "m.stablehlo"
+    p.export(str(art))
+    ep = load_exported(str(art))
+    s = PredictionServer(ep, port=0, max_wait_ms=5).start()
+    try:
+        x = np.random.default_rng(5).integers(0, 256, (32, 32, 3), np.uint8)
+        out = _post(s.port, _npy_bytes(x), "application/x-npy",
+                    path="/predict?topk=1")
+        ref = int(np.argmax(p.predict_logits(x[None])[0]))
+        assert out["topk"][0][0] == ref
+    finally:
+        s.stop()
