@@ -253,6 +253,21 @@ class ResNet_imagenet(ResNet):
                 {"epoch": 60, "lr": lr * 1e-2},
                 {"epoch": 80, "lr": lr * 1e-3},
             ]
+        if name in ("large_lars", "lars"):
+            # LARS past the linear-scaling regime's ~8k-batch ceiling
+            # (You et al. 2017; the MLPerf RN50 convention: polynomial
+            # decay power 2, 5-epoch warmup, wd inside the trust ratio,
+            # bias/BN excluded). lr anchored at the published 4k-batch
+            # operating point and scaled linearly.
+            steps_per_epoch = max(1281167 // batch_size, 1)
+            return [
+                {"epoch": 0, "optimizer": "LARS", "momentum": 0.9,
+                 "weight_decay": 1e-4, "trust_coef": 0.001,
+                 "lr": schedules.polynomial_lr(
+                     7.4 * batch_size / 4096,
+                     epochs * steps_per_epoch, power=2.0,
+                     warmup_steps=5 * steps_per_epoch)},
+            ]
         if name == "small":
             # small-batch regime ("Train longer, generalize better" lineage)
             return [

@@ -70,3 +70,92 @@ def gather_params(flat_slice, unravel, size: int, axis_name: str):
     """All-gather updated slices and rebuild the parameter pytree."""
     full = lax.all_gather(flat_slice, axis_name, axis=0, tiled=True)
     return unravel(full[:size])
+
+
+# ----------------------------------------------------------------------
+# Layer-wise optimizers (LARS/LAMB) under ZeRO-1
+#
+# The flat-shard update is exact for elementwise optimizers, but LARS
+# and LAMB need per-LAYER norms — the norm of a flat shard mixes layers
+# and pads. The fix is TPU-cheap: the flat layout's leaf boundaries are
+# static, so each shard segment-sums its slice's squares into per-leaf
+# buckets and ONE tiny psum (n_leaves floats) recovers the global
+# per-layer norms. The elementwise remainder of the update then matches
+# regimes.optim.{lars,lamb}_step exactly (tests/test_distributed.py).
+# ----------------------------------------------------------------------
+
+
+def leaf_segment_ids(params, n_shards: int):
+    """Static int32 vector [padded]: flat index → leaf ordinal; the pad
+    tail gets segment n_leaves (a discard bucket)."""
+    import numpy as np
+    leaves = jax.tree_util.tree_leaves(params)
+    ids = np.concatenate([np.full(int(x.size), i, np.int32)
+                          for i, x in enumerate(leaves)])
+    padded = flat_size(params, n_shards)
+    return np.pad(ids, (0, padded - ids.shape[0]),
+                  constant_values=len(leaves))
+
+
+def leaf_mask01(params, mask_tree):
+    """Static per-leaf 0/1 weight-decay mask vector (numpy)."""
+    import numpy as np
+    flags = jax.tree_util.tree_map(lambda p, m: bool(m), params, mask_tree)
+    return np.array([1.0 if f else 0.0
+                     for f in jax.tree_util.tree_leaves(flags)], np.float32)
+
+
+def segment_sq_sums(vec_slice, seg_slice, n_segments: int, axis_name: str):
+    """Global per-leaf Σx² of a sharded flat vector (one small psum)."""
+    local = jax.ops.segment_sum(jnp.square(vec_slice), seg_slice,
+                                num_segments=n_segments)
+    return lax.psum(local, axis_name)
+
+
+def lars_step_sharded(p_slice, g_slice, opt_state, hp, *, mask01,
+                      seg_slice, w_sq, n_leaves: int, axis_name: str):
+    """LARS on a ZeRO-1 shard. ``w_sq`` is the per-leaf Σw² of the full
+    (replicated) params; gradient norms come from segment-reduced
+    shards. Elementwise math mirrors regimes.optim.lars_step."""
+    g_sq = segment_sq_sums(g_slice, seg_slice, n_leaves + 1,
+                           axis_name)[:n_leaves]
+    w_norm = jnp.sqrt(w_sq)
+    g_norm = jnp.sqrt(g_sq)
+    eta, wd = hp["trust_coef"], hp["weight_decay"]
+    lr, mom = hp["lr"], hp["momentum"]
+    trust = jnp.where((w_norm > 0) & (g_norm > 0),
+                      eta * w_norm / (g_norm + wd * w_norm + 1e-9), 1.0)
+    # expand per-leaf trust to the shard's elements (pad bucket → 1.0)
+    trust_slice = jnp.concatenate(
+        [trust, jnp.ones((1,), trust.dtype)])[seg_slice]
+    g2 = g_slice + (wd * mask01) * p_slice
+    scale = jnp.where(mask01 > 0, trust_slice, 1.0) * lr
+    mu = mom * opt_state["mu"] + scale * g2
+    return p_slice - mu, {**opt_state, "mu": mu,
+                          "step": opt_state["step"] + 1}
+
+
+def lamb_step_sharded(p_slice, g_slice, opt_state, hp, *, mask01,
+                      seg_slice, w_sq, leaf_mask, n_leaves: int,
+                      axis_name: str):
+    """LAMB on a ZeRO-1 shard; mirrors regimes.optim.lamb_step with the
+    trust ratio's ||w||/||update|| recovered by segment psums."""
+    step = opt_state["step"] + 1
+    t = step.astype(jnp.float32)
+    b1, b2 = hp["beta1"], hp["beta2"]
+    lr, wd, eps = hp["lr"], hp["weight_decay"], hp["eps"]
+    m2 = b1 * opt_state["m"] + (1 - b1) * g_slice
+    v2 = b2 * opt_state["v"] + (1 - b2) * jnp.square(g_slice)
+    c1 = 1.0 - jnp.power(b1, t)
+    c2 = 1.0 - jnp.power(b2, t)
+    u = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps) + (wd * mask01) * p_slice
+    u_sq = segment_sq_sums(u, seg_slice, n_leaves + 1,
+                           axis_name)[:n_leaves]
+    w_norm = jnp.sqrt(w_sq)
+    u_norm = jnp.sqrt(u_sq)
+    ratio = jnp.where((leaf_mask > 0) & (w_norm > 0) & (u_norm > 0),
+                      w_norm / (u_norm + 1e-9), 1.0)
+    ratio_slice = jnp.concatenate(
+        [ratio, jnp.ones((1,), ratio.dtype)])[seg_slice]
+    return p_slice - lr * ratio_slice * u, {
+        **opt_state, "m": m2, "v": v2, "step": step}

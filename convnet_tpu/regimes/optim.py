@@ -53,6 +53,7 @@ HP_DEFAULTS: Dict[str, float] = {
     "grad_clip": -1.0,          # global-norm clip; <0 disables
     "loss_scale": 1.0,
     "bounded_norm": 0.0,        # >0 → BoundedWeightNorm active
+    "trust_coef": 0.001,        # LARS eta / LAMB has no coef (ratio direct)
 }
 
 
@@ -156,12 +157,90 @@ def rmsprop_step(params, grads, opt_state, hp, *, mask01=None):
     return new_params, {**opt_state, "mu": mu, "v": v, "step": step}
 
 
+def _leaf_norm(x):
+    return jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32))))
+
+
+def lars_step(params, grads, opt_state, hp, *, mask01=None):
+    """LARS (You et al. 2017) — layer-wise adaptive rate scaling for
+    large-batch SGD. Beyond the reference's optimizer registry
+    (utils/optim.py:~230–280 approx. has torch.optim names only), but
+    directly on its large-batch lineage: the reference's 'large' regime
+    implements Goyal-style warmup (models/resnet.py:~260–380 approx.);
+    LARS is the standard continuation past batch ~8k.
+
+    Per-leaf, for LARS-eligible leaves (mask>0, i.e. conv/linear
+    weights): trust = eta*||w|| / (||g|| + wd*||w||); momentum update
+    folds lr*trust into the gradient accumulation (momentum-after-
+    scaling formulation used by the MLPerf reference implementations).
+    Excluded leaves (bias/BN, mask==0) take plain SGD+momentum with no
+    weight decay — the canonical exclusion list.
+    """
+    lr, eta, wd, mom = hp["lr"], hp["trust_coef"], hp["weight_decay"], hp["momentum"]
+
+    def leaf(p, g, b, m):
+        g = g.astype(jnp.float32)
+        p32 = p.astype(jnp.float32)
+        w_norm = _leaf_norm(p32)
+        g_norm = _leaf_norm(g)
+        trust = jnp.where(
+            (w_norm > 0) & (g_norm > 0),
+            eta * w_norm / (g_norm + wd * w_norm + 1e-9), 1.0)
+        # mask==0 → no wd, no trust adaptation
+        g = g + (wd * m) * p32
+        scale = jnp.where(m > 0, trust, 1.0) * lr
+        new_b = mom * b + scale * g
+        return (p32 - new_b).astype(p.dtype), new_b
+
+    flat = jax.tree_util.tree_map(leaf, params, grads, opt_state["mu"], mask01)
+    new_params = jax.tree_util.tree_map(lambda t: t[0], flat,
+                                        is_leaf=lambda t: isinstance(t, tuple))
+    mu = jax.tree_util.tree_map(lambda t: t[1], flat,
+                                is_leaf=lambda t: isinstance(t, tuple))
+    return new_params, {**opt_state, "mu": mu, "step": opt_state["step"] + 1}
+
+
+def lamb_step(params, grads, opt_state, hp, *, mask01=None):
+    """LAMB (You et al. 2019) — Adam moments + layer-wise trust ratio
+    r = ||w||/||update||, for large-batch Adam-family training. Trust
+    adaptation and decoupled weight decay apply to eligible leaves only
+    (mask>0); bias/BN leaves take the plain Adam update."""
+    step = opt_state["step"] + 1
+    t = step.astype(jnp.float32)
+    b1, b2 = hp["beta1"], hp["beta2"]
+    lr, wd, eps = hp["lr"], hp["weight_decay"], hp["eps"]
+    c1 = 1.0 - jnp.power(b1, t)
+    c2 = 1.0 - jnp.power(b2, t)
+
+    def leaf(p, g, m_, v_, msk):
+        g = g.astype(jnp.float32)
+        p32 = p.astype(jnp.float32)
+        m2 = b1 * m_ + (1 - b1) * g
+        v2 = b2 * v_ + (1 - b2) * jnp.square(g)
+        u = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps) + (wd * msk) * p32
+        w_norm = _leaf_norm(p32)
+        u_norm = _leaf_norm(u)
+        ratio = jnp.where((msk > 0) & (w_norm > 0) & (u_norm > 0),
+                          w_norm / (u_norm + 1e-9), 1.0)
+        return (p32 - lr * ratio * u).astype(p.dtype), m2, v2
+
+    flat = jax.tree_util.tree_map(leaf, params, grads,
+                                  opt_state["m"], opt_state["v"], mask01)
+    is3 = lambda t: isinstance(t, tuple)
+    new_params = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=is3)
+    m = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=is3)
+    v = jax.tree_util.tree_map(lambda t: t[2], flat, is_leaf=is3)
+    return new_params, {**opt_state, "m": m, "v": v, "step": step}
+
+
 OPTIMIZERS = {
     "SGD": dict(step=sgd_step, kwargs={}, slots=("mu",)),
     "NesterovSGD": dict(step=sgd_step, kwargs={"nesterov": True}, slots=("mu",)),
     "Adam": dict(step=adam_step, kwargs={}, slots=("m", "v")),
     "AdamW": dict(step=adam_step, kwargs={"adamw": True}, slots=("m", "v")),
     "RMSprop": dict(step=rmsprop_step, kwargs={}, slots=("mu", "v")),
+    "LARS": dict(step=lars_step, kwargs={}, slots=("mu",)),
+    "LAMB": dict(step=lamb_step, kwargs={}, slots=("m", "v")),
 }
 
 

@@ -50,6 +50,21 @@ def cosine_lr(base_lr: float, total_steps: int, final_lr: float = 0.0,
     return lr
 
 
+def polynomial_lr(base_lr: float, total_steps: int, power: float = 2.0,
+                  final_lr: float = 0.0, warmup_steps: int = 0):
+    """Polynomial decay with linear warmup — the canonical LARS
+    large-batch schedule (You et al. 2017; MLPerf ResNet convention is
+    power=2)."""
+
+    def lr(epoch, step):
+        if warmup_steps > 0 and step < warmup_steps:
+            return base_lr * (step + 1) / warmup_steps
+        t = min(max(step - warmup_steps, 0) / max(total_steps - warmup_steps, 1), 1.0)
+        return final_lr + (base_lr - final_lr) * (1.0 - t) ** power
+
+    return lr
+
+
 def scaled_lr(lr: float, batch_size: int, base_batch: int = 256) -> float:
     """Goyal et al. linear scaling rule."""
     return lr * batch_size / base_batch

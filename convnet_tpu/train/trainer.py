@@ -245,10 +245,34 @@ class Trainer:
                 p_slice = zero.shard_slice(flat_p, axis)
                 mask_slice = zero.shard_slice(
                     jnp.asarray(self._zero_mask), axis)
-                spec = OPTIMIZERS[self.optim.optimizer_name]
-                p_slice, opt_state = spec["step"](
-                    p_slice, g_slice, opt_state, hp,
-                    mask01=mask_slice, **spec["kwargs"])
+                opt_name = self.optim.optimizer_name
+                if opt_name in ("LARS", "LAMB"):
+                    # layer-wise optimizers need per-LEAF norms, which a
+                    # flat shard cannot see — segment-reduced variants
+                    # (parallel/zero.py) recover them with one tiny psum
+                    leaves = jax.tree_util.tree_leaves(params)
+                    w_sq = jnp.stack([jnp.sum(jnp.square(
+                        l.astype(jnp.float32))) for l in leaves])
+                    seg_slice = zero.shard_slice(
+                        jnp.asarray(self._zero_seg), axis)
+                    if opt_name == "LARS":
+                        p_slice, opt_state = zero.lars_step_sharded(
+                            p_slice, g_slice, opt_state, hp,
+                            mask01=mask_slice, seg_slice=seg_slice,
+                            w_sq=w_sq, n_leaves=self._zero_nleaves,
+                            axis_name=axis)
+                    else:
+                        p_slice, opt_state = zero.lamb_step_sharded(
+                            p_slice, g_slice, opt_state, hp,
+                            mask01=mask_slice, seg_slice=seg_slice,
+                            w_sq=w_sq,
+                            leaf_mask=jnp.asarray(self._zero_leafmask),
+                            n_leaves=self._zero_nleaves, axis_name=axis)
+                else:
+                    spec = OPTIMIZERS[opt_name]
+                    p_slice, opt_state = spec["step"](
+                        p_slice, g_slice, opt_state, hp,
+                        mask01=mask_slice, **spec["kwargs"])
                 params = zero.gather_params(
                     p_slice, unravel, self._zero_size, axis)
                 metrics = {"loss": loss, "correct1": c1, "correct5": c5,
@@ -424,6 +448,9 @@ class Trainer:
             self._zero_size = sum(int(x.size) for x in
                                   jax.tree_util.tree_leaves(params))
             self._zero_mask = zero.flat_mask01(params, self._wd_mask, n)
+            self._zero_seg = zero.leaf_segment_ids(params, n)
+            self._zero_leafmask = zero.leaf_mask01(params, self._wd_mask)
+            self._zero_nleaves = len(jax.tree_util.tree_leaves(params))
             flat_template = jnp.zeros((padded,), jnp.float32)
             opt_state = self.optim.init_state(flat_template)
             self._opt_specs = jax.tree_util.tree_map(

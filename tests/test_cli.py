@@ -34,6 +34,15 @@ def test_train_produces_artifacts(tmp_path):
     assert np.isfinite(rows[0]["train_loss"])
 
 
+def test_train_with_lars_optimizer(tmp_path):
+    """--optimizer LARS engages the large-batch layer-wise optimizer
+    end to end (registry → needed_slots → jitted step)."""
+    res = _run(tmp_path, "--optimizer", "LARS", "--lr", "0.5")
+    assert np.isfinite(res["best_prec1"])
+    rows = json.loads((tmp_path / "t" / "results.json").read_text())
+    assert np.isfinite(rows[0]["train_loss"])
+
+
 def test_resume_continues(tmp_path):
     _run(tmp_path)
     res = main([

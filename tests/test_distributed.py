@@ -333,6 +333,151 @@ def test_zero1_sharded_optimizer_matches_replicated():
     assert shard_sizes == {mu.shape[0] // 8}
 
 
+@pytest.mark.parametrize("opt_name", ["LARS", "LAMB"])
+def test_layerwise_sharded_step_exact(opt_name):
+    """parallel/zero.py lars/lamb_step_sharded vs the replicated
+    regimes.optim step on identical inputs: the segment-reduced
+    per-leaf norms must reproduce the layer-wise math exactly (only
+    fp32 reduction-order noise allowed)."""
+    from jax.flatten_util import ravel_pytree
+    from jax.sharding import PartitionSpec as P
+    from convnet_tpu.train.trainer import _shard_map_fn as shard_map
+    from convnet_tpu.parallel import zero
+    from convnet_tpu.regimes import optim as ro
+    from convnet_tpu.utils.param_filter import wd_mask
+
+    rng = np.random.default_rng(2)
+    params = {
+        "conv": {"w": jnp.asarray(rng.standard_normal((3, 3, 4, 8)),
+                                  jnp.float32)},
+        "bn": {"scale": jnp.ones(8), "bias": jnp.zeros(8)},
+        "fc": {"w": jnp.asarray(rng.standard_normal((8, 10)), jnp.float32),
+               "b": jnp.zeros(10)},
+    }
+    grads = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.standard_normal(x.shape), x.dtype), params)
+    hp = {k: jnp.float32(v) for k, v in ro.HP_DEFAULTS.items()}
+    hp.update({"lr": jnp.float32(0.5), "momentum": jnp.float32(0.9),
+               "weight_decay": jnp.float32(1e-3),
+               "trust_coef": jnp.float32(0.01)})
+
+    # replicated reference update
+    update = ro.make_update_fn(opt_name, params)
+    init_state = ro.init_opt_state(params, with_adam=True)
+    ref_params, _ = update(params, grads, init_state, hp)
+
+    # sharded update on the 8-device mesh
+    mesh = make_mesh(8)
+    n = 8
+    padded = zero.flat_size(params, n)
+    size = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    mask = zero.flat_mask01(params, wd_mask(params), n)
+    seg = zero.leaf_segment_ids(params, n)
+    lmask = zero.leaf_mask01(params, wd_mask(params))
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    axis = list(mesh.axis_names)[0]
+
+    def sharded(params, grads):
+        flat_g, _ = ravel_pytree(grads)
+        flat_g = jnp.pad(flat_g, (0, padded - flat_g.shape[0]))
+        # grads identical on every shard → psum_scatter/n == slice
+        g_slice = zero.shard_slice(flat_g, axis)
+        flat_p, unravel = ravel_pytree(params)
+        flat_p = jnp.pad(flat_p, (0, padded - flat_p.shape[0]))
+        p_slice = zero.shard_slice(flat_p, axis)
+        opt = {"step": jnp.zeros((), jnp.int32),
+               "mu": jnp.zeros_like(p_slice),
+               "m": jnp.zeros_like(p_slice),
+               "v": jnp.zeros_like(p_slice)}
+        mask_slice = zero.shard_slice(jnp.asarray(mask), axis)
+        seg_slice = zero.shard_slice(jnp.asarray(seg), axis)
+        leaves = jax.tree_util.tree_leaves(params)
+        w_sq = jnp.stack([jnp.sum(jnp.square(l.astype(jnp.float32)))
+                          for l in leaves])
+        if opt_name == "LARS":
+            p_slice, _ = zero.lars_step_sharded(
+                p_slice, g_slice, opt, hp, mask01=mask_slice,
+                seg_slice=seg_slice, w_sq=w_sq, n_leaves=n_leaves,
+                axis_name=axis)
+        else:
+            p_slice, _ = zero.lamb_step_sharded(
+                p_slice, g_slice, opt, hp, mask01=mask_slice,
+                seg_slice=seg_slice, w_sq=w_sq,
+                leaf_mask=jnp.asarray(lmask), n_leaves=n_leaves,
+                axis_name=axis)
+        return zero.gather_params(p_slice, unravel, size, axis)
+
+    fn = shard_map(sharded, mesh=mesh,
+                   in_specs=(P(), P()), out_specs=P(),
+                   check_vma=False)
+    out = jax.jit(fn)(params, grads)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("opt_name,extra", [
+    ("LARS", {"momentum": 0.9, "trust_coef": 0.01, "weight_decay": 1e-4,
+              "lr": 0.1}),
+    ("LAMB", {"weight_decay": 1e-2, "lr": 1e-2}),
+])
+def test_zero1_layerwise_optimizer_matches_replicated(opt_name, extra):
+    """LARS/LAMB under ZeRO-1 through the full trainer: trajectories
+    must track the replicated run. Tolerances are looser than the SGD
+    twin above — sync-BN fp32 reduction-order noise is amplified by the
+    trust ratio (LARS) and by the sign-like step-1 update m̂/√v̂
+    (LAMB); exactness of the sharded step math itself is pinned by
+    test_layerwise_sharded_step_exact."""
+    model = models.build("resnet", dataset="cifar10", depth=20)
+    regime = [{"epoch": 0, "optimizer": opt_name, **extra}]
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 10, (16,)).astype(np.int32)
+
+    def run(shard_opt, n_steps):
+        mesh = make_mesh(8) if shard_opt else None
+        tr = Trainer(model, OptimRegime(list(regime)), 10,
+                     TrainerConfig(print_freq=0, sync_bn=True,
+                                   shard_opt_state=shard_opt),
+                     mesh=mesh, seed=7)
+        p, s = model.init(jax.random.PRNGKey(0))
+        p, s, o = tr.initialize(p, s)
+        tr.optim.update(0, 0)
+        hp = tr._hp_device(tr.optim.hyperparams())
+        step = tr._get_train_step()
+        losses = []
+        for i in range(n_steps):
+            bx, by = tr._shard(jnp.asarray(x), jnp.asarray(y))
+            p, s, o, m = step(p, s, o, bx, by, hp, jax.random.PRNGKey(90 + i))
+            losses.append(float(m["loss"]))
+        return losses, jax.device_get(p)
+
+    _, params_z = run(True, 1)
+    _, params_r = run(False, 1)
+    # LAMB's step-1 update is lr·ratio·sign(g) elementwise, so a grad
+    # element near 0 can flip sign between reduction orders, bounding
+    # the per-element diff at 2·lr·ratio — a few such flips are
+    # expected and harmless. Allow them explicitly (≤1% of elements,
+    # each ≤ 2.1·lr) instead of loosening the global tolerance.
+    lr = extra.get("lr", 0.5)
+    n_total, n_bad = 0, 0
+    for a, b in zip(jax.tree_util.tree_leaves(params_r),
+                    jax.tree_util.tree_leaves(params_z)):
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.abs(b - a)
+        bad = diff > (5e-4 + 5e-3 * np.abs(a))
+        n_total += bad.size
+        n_bad += int(bad.sum())
+        if bad.any():
+            assert opt_name == "LAMB", f"max diff {diff.max():.2e}"
+            assert diff[bad].max() <= 2.1 * lr
+    assert n_bad <= max(1, 0.01 * n_total), f"{n_bad}/{n_total} flips"
+    losses_z, _ = run(True, 3)
+    losses_r, _ = run(False, 3)
+    np.testing.assert_allclose(losses_z, losses_r, rtol=5e-3)
+
+
 def test_calibrate_bn_on_mesh_equals_single_device():
     """Mesh calibrate_bn (round-2 VERDICT weak #5): sharding the
     calibration batch over the data axis and pmean-ing the moments
