@@ -1,0 +1,11 @@
+#!/bin/sh
+# Very-large-batch training with LARS (You et al. 2017) past the
+# linear-scaling regime's ~8k ceiling: layer-wise trust ratios,
+# polynomial-decay LR with 5-epoch warmup, bias/BN excluded from both
+# trust and weight decay. ZeRO-1 shards the momentum over the data
+# axis (LARS stays exact there: per-layer norms are recovered by
+# segment-reduced psums — parallel/zero.py).
+python main.py --model resnet --dataset imagenet \
+    --model-config "{'depth': 50, 'regime': 'large_lars', 'batch_size': 16384}" \
+    -b 16384 --chunk-batch 16 --epochs 90 --dtype bf16 --sync-bn \
+    --shard-opt-state --save resnet50-lars-b16k "$@"

@@ -120,7 +120,18 @@ def run_job(path):
 
 
 def main():
-    print(f"worker starting; devices={jax.devices()}", flush=True)
+    # The axon backend intermittently fails init with UNAVAILABLE after
+    # a long grant wait (provider-side flake, observed r3 sessions 2-3).
+    # Failed init IS retryable in-process — loop with a pause instead
+    # of dying, so the queue survives the flake.
+    for attempt in range(60):
+        try:
+            print(f"worker starting; devices={jax.devices()}", flush=True)
+            break
+        except RuntimeError as e:
+            print(f"backend init failed (attempt {attempt}): {e}; "
+                  "retrying in 60s", flush=True)
+            time.sleep(60)
     # Touch the device once so the grant is held from the start.
     print(f"sanity {float(jnp.ones((2, 2)).sum())}", flush=True)
     print("worker ready", flush=True)
