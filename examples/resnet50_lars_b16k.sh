@@ -5,7 +5,10 @@
 # trust and weight decay. ZeRO-1 shards the momentum over the data
 # axis (LARS stays exact there: per-layer norms are recovered by
 # segment-reduced psums — parallel/zero.py).
+# NOTE: 'epochs' appears twice on purpose — the model-config value sets
+# the LARS polynomial-decay horizon (the regime is model-authored);
+# --epochs sets how long the CLI trains. Change them together.
 python main.py --model resnet --dataset imagenet \
-    --model-config "{'depth': 50, 'regime': 'large_lars', 'batch_size': 16384}" \
+    --model-config "{'depth': 50, 'regime': 'large_lars', 'batch_size': 16384, 'epochs': 90}" \
     -b 16384 --chunk-batch 16 --epochs 90 --dtype bf16 --sync-bn \
     --shard-opt-state --save resnet50-lars-b16k "$@"

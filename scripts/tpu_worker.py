@@ -132,6 +132,8 @@ def main():
             print(f"backend init failed (attempt {attempt}): {e}; "
                   "retrying in 60s", flush=True)
             time.sleep(60)
+    else:
+        raise SystemExit("worker giving up: backend init failed 60 times")
     # Touch the device once so the grant is held from the start.
     print(f"sanity {float(jnp.ones((2, 2)).sum())}", flush=True)
     print("worker ready", flush=True)
