@@ -51,6 +51,25 @@ def test_loss_decreases():
     assert min(losses[1:]) < losses[0], losses
 
 
+def test_progressive_resizing_across_epochs():
+    """Mix&Match-style data regime: the input size changes between
+    epochs (data.py:~270–300 set_epoch semantics); the jitted step
+    re-specializes per shape via jit's cache and training continues
+    through the size change."""
+    model, tr, params, state, opt_state = _make(lr=0.02)
+    data = DataRegime(
+        [{"epoch": 0, "input_size": 24}, {"epoch": 1, "input_size": 32}],
+        defaults={"name": "synthetic", "batch_size": 32,
+                  "dataset_kwargs": {"size": 64, "image_size": 32}})
+    for epoch, want in ((0, 24), (1, 32)):
+        data.set_epoch(epoch)
+        x, _ = next(iter(data.get_loader()))
+        assert x.shape[1] == want
+        params, state, opt_state, res = tr.train_epoch(
+            data.get_loader(), params, state, opt_state, epoch)
+        assert np.isfinite(res["loss"])
+
+
 def test_chunk_batch_matches_full_batch_grads():
     """Micro-batched gradient accumulation ≈ full-batch step (BN stats
     differ per-chunk, so compare loosely after 1 step)."""
