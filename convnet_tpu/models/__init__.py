@@ -17,6 +17,7 @@ from convnet_tpu.models.vgg import vgg
 from convnet_tpu.models.mnist import mnist_model
 from convnet_tpu.models.densenet import densenet
 from convnet_tpu.models.inception import inception_v3
+from convnet_tpu.models.inception_resnet_v2 import inception_resnet_v2
 
 REGISTRY = {
     "resnet": resnet,
@@ -32,6 +33,7 @@ REGISTRY = {
     "mnist": mnist_model,
     "densenet": densenet,
     "inception_v3": inception_v3,
+    "inception_resnet_v2": inception_resnet_v2,
 }
 
 

@@ -181,6 +181,24 @@ def test_inception_v3():
 
 
 @pytest.mark.slow
+def test_inception_resnet_v2():
+    m = models.build("inception_resnet_v2")
+    params, state = m.init(jax.random.PRNGKey(0))
+    assert param_count(params) == 55_843_464  # canonical (Cadene/timm)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 96, 96, 3))
+    y, new_state = m(params, state, x, Context(train=True,
+                                               rng=jax.random.PRNGKey(2)))
+    assert y.shape == (2, 1000)
+    assert np.isfinite(np.asarray(y)).all()
+    # BN stats update during training
+    before = jax.tree_util.tree_leaves(state["stem"])
+    after = jax.tree_util.tree_leaves(new_state["stem"])
+    assert any(np.any(np.asarray(a) != np.asarray(b))
+               for a, b in zip(after, before))
+    assert m.regime[0]["optimizer"] == "SGD" and m.input_size == 299
+
+
+@pytest.mark.slow
 def test_googlenet_aux_heads():
     """Aux classifiers (reference models/googlenet.py aux branches):
     training forward collects two 0.3-weighted logit sets; eval never

@@ -549,3 +549,123 @@ def test_import_densenet_logits_parity():
                            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                            train=False)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+class _TIRv2Block(nn.Module):
+    """Shared residual-block twin: branches -> concat -> biased 1x1 up
+    -> x + scale*up (-> relu unless final)."""
+
+    def __init__(self, scale, final=False):
+        super().__init__()
+        self.scale, self.final = scale, final
+
+    def forward(self, x):
+        outs = [b(x) for b in (getattr(self, n)
+                               for n in ("b1", "b2", "b3") if hasattr(self, n))]
+        out = x + self.scale * self.up(torch.cat(outs, 1))
+        return out if self.final else torch.relu(out)
+
+
+def _t_block35():
+    m = _TIRv2Block(0.17)
+    m.b1 = _TConvBN(320, 32, 1)
+    m.b2 = nn.Sequential(_TConvBN(320, 32, 1), _TConvBN(32, 32, 3, 1, 1))
+    m.b3 = nn.Sequential(_TConvBN(320, 32, 1), _TConvBN(32, 48, 3, 1, 1),
+                         _TConvBN(48, 64, 3, 1, 1))
+    m.up = nn.Conv2d(128, 320, 1, bias=True)
+    return m
+
+
+def _t_block17():
+    m = _TIRv2Block(0.10)
+    m.b1 = _TConvBN(1088, 192, 1)
+    m.b2 = nn.Sequential(_TConvBN(1088, 128, 1),
+                         _TConvBN(128, 160, (1, 7), 1, (0, 3)),
+                         _TConvBN(160, 192, (7, 1), 1, (3, 0)))
+    m.up = nn.Conv2d(384, 1088, 1, bias=True)
+    return m
+
+
+def _t_block8(final=False):
+    m = _TIRv2Block(1.0 if final else 0.20, final=final)
+    m.b1 = _TConvBN(2080, 192, 1)
+    m.b2 = nn.Sequential(_TConvBN(2080, 192, 1),
+                         _TConvBN(192, 224, (1, 3), 1, (0, 1)),
+                         _TConvBN(224, 256, (3, 1), 1, (1, 0)))
+    m.up = nn.Conv2d(448, 2080, 1, bias=True)
+    return m
+
+
+class _TorchInceptionResNetV2(nn.Module):
+    """Twin of convnet_tpu inception_resnet_v2 (reference
+    models/inception_resnet_v2.py, Cadene-derived)."""
+
+    def __init__(self, classes=11):
+        super().__init__()
+        self.stem = nn.Sequential(
+            _TConvBN(3, 32, 3, 2), _TConvBN(32, 32, 3),
+            _TConvBN(32, 64, 3, 1, 1), nn.MaxPool2d(3, 2),
+            _TConvBN(64, 80, 1), _TConvBN(80, 192, 3), nn.MaxPool2d(3, 2))
+        m5b = _TIRv2Block(0.0)  # reuse only as a container for branches
+        m5b.b1 = _TConvBN(192, 96, 1)
+        m5b.b2 = nn.Sequential(_TConvBN(192, 48, 1), _TConvBN(48, 64, 5, 1, 2))
+        m5b.b3 = nn.Sequential(_TConvBN(192, 64, 1), _TConvBN(64, 96, 3, 1, 1),
+                               _TConvBN(96, 96, 3, 1, 1))
+        m5b.b4 = _TConvBN(192, 64, 1)
+        m5b.forward = lambda x, s=m5b: torch.cat(
+            [s.b1(x), s.b2(x), s.b3(x),
+             s.b4(nn.functional.avg_pool2d(x, 3, 1, 1))], 1)
+        self.mixed_5b = m5b
+        self.block35 = nn.Sequential(*[_t_block35() for _ in range(10)])
+        m6a = _TIRv2Block(0.0)
+        m6a.b1 = _TConvBN(320, 384, 3, 2)
+        m6a.b2 = nn.Sequential(_TConvBN(320, 256, 1),
+                               _TConvBN(256, 256, 3, 1, 1),
+                               _TConvBN(256, 384, 3, 2))
+        m6a.forward = lambda x, s=m6a: torch.cat(
+            [s.b1(x), s.b2(x), nn.functional.max_pool2d(x, 3, 2)], 1)
+        self.mixed_6a = m6a
+        self.block17 = nn.Sequential(*[_t_block17() for _ in range(20)])
+        m7a = _TIRv2Block(0.0)
+        m7a.b1 = nn.Sequential(_TConvBN(1088, 256, 1), _TConvBN(256, 384, 3, 2))
+        m7a.b2 = nn.Sequential(_TConvBN(1088, 256, 1), _TConvBN(256, 288, 3, 2))
+        m7a.b3 = nn.Sequential(_TConvBN(1088, 256, 1),
+                               _TConvBN(256, 288, 3, 1, 1),
+                               _TConvBN(288, 320, 3, 2))
+        m7a.forward = lambda x, s=m7a: torch.cat(
+            [s.b1(x), s.b2(x), s.b3(x), nn.functional.max_pool2d(x, 3, 2)], 1)
+        self.mixed_7a = m7a
+        self.block8 = nn.Sequential(*[_t_block8() for _ in range(9)],
+                                    _t_block8(final=True))
+        self.conv2d_7b = _TConvBN(2080, 1536, 1)
+        self.fc = nn.Linear(1536, classes)
+
+    def forward(self, x):
+        x = self.mixed_5b(self.stem(x))
+        x = self.mixed_6a(self.block35(x))
+        x = self.mixed_7a(self.block17(x))
+        x = self.conv2d_7b(self.block8(x))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+@pytest.mark.slow
+def test_import_inception_resnet_v2_logits_parity():
+    """Full Inception-ResNet-v2 state_dict import: residual 'up' convs
+    carry biases (no BN) and the classifier follows a global pool, so
+    both the conv-bias path and the flatten-permutation gating are
+    exercised at zoo scale."""
+    rng = np.random.default_rng(11)
+    tm = _TorchInceptionResNetV2()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    model = models.build("inception_resnet_v2", num_classes=11)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = import_torch_state_dict(tm.state_dict(), model,
+                                            params, state)
+    x = rng.standard_normal((2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
