@@ -138,7 +138,10 @@ class DataLoader:
         num_batches = len(self)
         dup = self.transform.duplicates
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        # workers=0 mirrors the reference DataLoader's synchronous mode
+        # (num_workers=0 loads in the main process): one thread, no
+        # fan-out — not a crash (ThreadPoolExecutor rejects 0).
+        pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
         stop = threading.Event()
 
         # archive-backed datasets expose batched raw reads (native
@@ -203,7 +206,7 @@ class DataLoader:
                 scale=spec.get("scale", (0.08, 1.0)),
                 ratio=spec.get("ratio", (3 / 4, 4 / 3)),
                 duplicates=dup,
-                threads=self.num_workers)
+                threads=max(1, self.num_workers))
 
         def _pil_rng(i, d):
             # deterministic per-(sample, duplicate) PIL fallback draw —

@@ -117,6 +117,18 @@ def test_imagenet_style_host_pipeline():
     assert np.isfinite(np.asarray(x)).all()
 
 
+def test_loader_zero_workers_synchronous():
+    """``-j 0`` is the reference DataLoader's synchronous mode — it
+    must load batches, not crash ThreadPoolExecutor (found by the
+    on-chip CLI smoke, scripts/jobs/done/081_irv2_cli_smoke.out)."""
+    dr = DataRegime(defaults={
+        "name": "synthetic_imagenet", "batch_size": 4, "num_workers": 0,
+        "input_size": 64, "dataset_kwargs": {"size": 8, "image_size": 96}})
+    x, y = next(iter(dr.get_loader()))
+    assert x.shape == (4, 64, 64, 3)
+    assert np.isfinite(np.asarray(x)).all()
+
+
 def test_indexed_tar_dataset(tmp_path):
     import io
     import tarfile
