@@ -17,8 +17,6 @@ schedule used by models/inception.py here (the reference file ships
 the architecture without its own regime table).
 """
 
-import jax.numpy as jnp
-
 from convnet_tpu import ops
 from convnet_tpu.core.module import Module, Sequential, Context
 from convnet_tpu.nn import Conv2d, Linear, MaxPool2d, AvgPool2d, GlobalAvgPool

@@ -669,3 +669,27 @@ def test_import_inception_resnet_v2_logits_parity():
                            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                            train=False)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_import_irv2_block35_parity():
+    """Fast block-level twin check for the Inception-ResNet residual
+    unit: biased up-conv, 0.17 residual scaling, branch concat order."""
+    from convnet_tpu.models.inception_resnet_v2 import Block35
+    rng = np.random.default_rng(12)
+    tm = _t_block35()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    blk = Block35()
+    params, state = blk.init(jax.random.PRNGKey(0))
+    params, state = import_torch_state_dict(tm.state_dict(), blk,
+                                            params, state)
+    x = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    x = np.repeat(x, 107, axis=1)[:, :320]  # 320 channels
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(blk, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours),
+                               np.transpose(ref, (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-4)
