@@ -75,12 +75,14 @@ def main():
     # backward + optimizer); fallback is the analytic ResNet-50 count
     # (~4.09 GFLOP/image forward x3 for training).
     step_flops = None
+    step_bytes = None
     try:
         cost = (step_fn.lower(params, state, opt_state, x, y, hp, rng)
                 .compile().cost_analysis())
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         step_flops = float(cost.get("flops", 0.0)) or None
+        step_bytes = float(cost.get("bytes accessed", 0.0)) or None
     except Exception:
         step_flops = None
     if not step_flops:
@@ -102,6 +104,14 @@ def main():
     if peak is None:
         peak = 197e12
     model_tflops = step_flops / p50 / 1e12
+    # HBM speed-of-light: the fraction of the device's memory bandwidth
+    # the step's XLA-counted HBM traffic sustains — the binding ceiling
+    # for traffic-bound models (jobs 010-013: RN50's dominant backward
+    # fusions run at ~90% of it). Bandwidth by generation (GB/s).
+    hbm_peaks = [("v6e", 1640e9), ("v6 lite", 1640e9),
+                 ("v5 lite", 819e9), ("v5e", 819e9), ("v5p", 2765e9),
+                 ("v5", 2765e9), ("v4", 1228e9), ("v3", 900e9)]
+    hbm_bw = next((p for k, p in hbm_peaks if k in kind), 819e9)
 
     result = {
         "metric": "resnet50_train_images_per_sec_per_chip",
@@ -120,6 +130,11 @@ def main():
         "peak_known": peak_known,
         "device_kind": jax.devices()[0].device_kind,
     }
+    if step_bytes:
+        result["step_gbytes"] = round(step_bytes / 1e9, 2)
+        result["hbm_gbps"] = round(step_bytes / p50 / 1e9, 1)
+        result["hbm_sol"] = round(step_bytes / p50 / hbm_bw, 4)
+        result["hbm_bw_assumed_gbps"] = hbm_bw / 1e9
     print(json.dumps(result))
 
 
