@@ -39,14 +39,62 @@ class InvertedResidual(Module):
     def __init__(self, in_ch, out_ch, stride, expand_ratio):
         hidden = int(round(in_ch * expand_ratio))
         self.use_res = stride == 1 and in_ch == out_ch
+        self.stride = stride
+        self.hidden = hidden
+        self.has_expand = expand_ratio != 1
         layers = []
-        if expand_ratio != 1:
+        if self.has_expand:
             layers.append(ConvBNReLU6(in_ch, hidden, 1))
         layers.append(ConvBNReLU6(hidden, hidden, 3, stride, 1, groups=hidden))
         layers.append(ConvBNReLU6(hidden, out_ch, 1, relu6=False))  # linear
         self.block = Sequential(*layers)
 
+    def _fused_ok(self, ctx):
+        # Opt-in (CONVNET_TPU_FUSED_MBCONV=1), inference only: the
+        # whole-block Pallas kernel (ops/pallas/mbconv.py) wins ~1.7x
+        # per block where the hidden width keeps block DMA efficient
+        # (>=256 channels; 64-byte rows at 32ch run at ~52 GB/s — jobs
+        # 104-115, PERF_NOTES round 4) and Mosaic compiles it
+        # (960ch crashes the remote compiler). Training mode stays XLA:
+        # the stats passes re-read the input and measured slower.
+        import os
+        if os.environ.get("CONVNET_TPU_FUSED_MBCONV") != "1":
+            return False
+        if ctx.train or ctx.quant is not None or ctx.spatial_axis is not None:
+            return False
+        return (self.stride == 1 and 256 <= self.hidden <= 640)
+
     def __call__(self, params, state, x, ctx: Context):
+        if self._fused_ok(ctx):
+            from convnet_tpu.ops.pallas import mbconv
+            names = list(self.block.layers.keys())
+            kids = list(self.block.layers.values())
+            bp, bs = params["block"], state["block"]
+
+            def fold(i):
+                cb = kids[i]
+                p, st = bp[names[i]], bs[names[i]]
+                inv = jax.lax.rsqrt(st["bn"]["var"] + cb.bn.eps)
+                s = p["bn"]["scale"].astype(jax.numpy.float32) * inv
+                t = (p["bn"]["bias"].astype(jax.numpy.float32)
+                     - st["bn"]["mean"] * s)
+                return p["conv"]["w"], s, t
+
+            if self.has_expand:
+                we, s1, t1 = fold(0)
+                we = we.reshape(we.shape[-2], we.shape[-1])
+                i_dw = 1
+            else:
+                we = s1 = t1 = None
+                i_dw = 0
+            wd, s2, t2 = fold(i_dw)
+            wp, s3, t3 = fold(i_dw + 1)
+            y = mbconv.mbconv_infer(
+                x, we, s1, t1, wd, s2, t2,
+                wp.reshape(wp.shape[-2], wp.shape[-1]), s3, t3,
+                residual=self.use_res,
+                interpret=jax.devices()[0].platform == "cpu")
+            return y, dict(state)
         out, new_block_state = self.block(params["block"], state["block"], x, ctx)
         if self.use_res:
             out = out + x

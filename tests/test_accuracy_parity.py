@@ -1,0 +1,281 @@
+"""Accuracy-parity protocol at the 0.2% north-star tolerance.
+
+BASELINE.md demands top-1 within 0.2% of the PyTorch reference.
+Round 3's generalization twin saturated at 100% (job 051 /
+test_torch_trajectory2.py), so its 1% band asserted little. This
+protocol (VERDICT r3 #5, documented in PARITY.md) fixes both gaps:
+
+- **non-saturating task**: StructuredSyntheticDataset at noise=2.2
+  lands both frameworks at ~80% held-out accuracy (probed range:
+  noise 1.8 → 91%, 2.4 → 70%, 3.0 → 53%), so a real accuracy gap has
+  room to show in either direction;
+- **full-regime training**: the stepped-LR schedule (0.1 → 0.01 →
+  0.001) compressed to 300 steps, momentum SGD, matched init (our
+  init exported into torch via the shipped importer), matched batch
+  order, fp32 — the same coupling discipline as the trajectory twins;
+- **tight assertion**: |top-1(ours) − top-1(torch)| ≤ 0.2% on a
+  4096-sample held-out split (0.2% = 8 samples; the arms share data,
+  init and batches, so the difference measures framework numerics +
+  training-dynamics divergence, not sampling noise).
+
+Two architectures: ResNet-20 (the reference's CIFAR flagship) under
+SGD, and MobileNet-V2 (width 0.5, 32px) under its RMSprop regime
+lineage — both through the real Trainer step (BN batch stats, running
+stats, eval path).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from convnet_tpu import models
+from convnet_tpu.core.module import apply_module
+from convnet_tpu.data.datasets import StructuredSyntheticDataset
+from convnet_tpu.regimes.optim import OptimRegime
+from convnet_tpu.regimes import schedules
+from convnet_tpu.train.trainer import Trainer, TrainerConfig
+from convnet_tpu.utils.torch_import import export_into_torch_state_dict
+
+pytestmark = pytest.mark.slow
+
+NOISE = 2.2
+TRAIN_N, VAL_N = 4096, 4096
+
+
+class _TorchResNetCifar(nn.Module):
+    """Order-faithful torch twin of models/resnet.py ResNet_cifar."""
+
+    def __init__(self, depth=20, classes=10):
+        super().__init__()
+        n = (depth - 2) // 6
+
+        def block(cin, cout, stride):
+            class B(nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1,
+                                           bias=False)
+                    self.bn1 = nn.BatchNorm2d(cout)
+                    self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+                    self.bn2 = nn.BatchNorm2d(cout)
+                    self.down = None
+                    if stride != 1 or cin != cout:
+                        self.down = nn.Sequential(
+                            nn.Conv2d(cin, cout, 1, stride, bias=False),
+                            nn.BatchNorm2d(cout))
+
+                def forward(self, x):
+                    idt = x if self.down is None else self.down(x)
+                    out = F.relu(self.bn1(self.conv1(x)))
+                    return F.relu(self.bn2(self.conv2(out)) + idt)
+            return B()
+
+        self.stem_conv = nn.Conv2d(3, 16, 3, 1, 1, bias=False)
+        self.stem_bn = nn.BatchNorm2d(16)
+        stages = []
+        cin = 16
+        for w, s in ((16, 1), (32, 2), (64, 2)):
+            for i in range(n):
+                stages.append(block(cin, w, s if i == 0 else 1))
+                cin = w
+        self.blocks = nn.Sequential(*stages)
+        self.fc = nn.Linear(64, classes)
+
+    def forward(self, x):
+        x = F.relu(self.stem_bn(self.stem_conv(x)))
+        x = self.blocks(x)
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+def _datasets():
+    train = StructuredSyntheticDataset(size=TRAIN_N, image_size=32,
+                                       classes=10, seed=3, noise=NOISE)
+    val = StructuredSyntheticDataset(size=VAL_N, image_size=32,
+                                     classes=10, seed=4, noise=NOISE)
+    return train, val
+
+
+def _load_into_torch(tm, model, params, state):
+    sd = export_into_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()
+         if "num_batches_tracked" not in k},
+        model, params, state)
+    missing = tm.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert not missing.unexpected_keys
+
+
+def _run_protocol(model, regime, tm, make_torch_opt, steps=300, batch=64,
+                  decoupled_wd=0.0):
+    """Train both twins on the identical stream; return (acc_j, acc_t)
+    on the held-out split."""
+    train, val = _datasets()
+    tr = Trainer(model, OptimRegime(regime), 10,
+                 TrainerConfig(print_freq=0), seed=0)
+    params, state = model.init(jax.random.PRNGKey(5), tr.policy)
+    _load_into_torch(tm, model, params, state)
+    tm.train()
+    opt = make_torch_opt(tm)
+    wd_params = [p for name, p in tm.named_parameters()
+                 if name.endswith("weight") and p.ndim >= 2]
+
+    params, state, opt_state = tr.initialize(params, state)
+    step = tr._get_train_step()
+
+    order = np.random.default_rng(0).permutation(len(train))
+    for i in range(steps):
+        tr.optim.update(0, i)
+        hp = tr._hp_device(tr.optim.hyperparams())
+        lr = float(tr.optim.hyperparams()["lr"])
+        for g in opt.param_groups:
+            g["lr"] = lr
+        lo = (i * batch) % len(train)
+        sel = order[lo:lo + batch]
+        if len(sel) < batch:
+            sel = np.concatenate([sel, order[:batch - len(sel)]])
+        x = np.stack([train.data[j] for j in sel]).astype(np.float32) / 255.0
+        y = train.labels[sel].astype(np.int64)
+        params, state, opt_state, m = step(
+            params, state, opt_state, jnp.asarray(x),
+            jnp.asarray(y.astype(np.int32)), hp, jax.random.PRNGKey(i))
+        loss_t = F.cross_entropy(
+            tm(torch.tensor(x.transpose(0, 3, 1, 2))), torch.tensor(y))
+        opt.zero_grad()
+        loss_t.backward()
+        if decoupled_wd:
+            with torch.no_grad():
+                for p in wd_params:
+                    p.mul_(1.0 - lr * decoupled_wd)
+        opt.step()
+
+    xv = val.data.astype(np.float32) / 255.0
+    yv = val.labels.astype(np.int64)
+    preds = []
+    for k in range(0, len(xv), 512):
+        logits, _ = apply_module(model, params, state,
+                                 jnp.asarray(xv[k:k + 512]), train=False)
+        preds.append(np.argmax(np.asarray(logits), -1))
+    acc_j = float(np.mean(np.concatenate(preds) == yv))
+    tm.eval()
+    with torch.no_grad():
+        outs = []
+        for k in range(0, len(xv), 512):
+            outs.append(tm(torch.tensor(
+                xv[k:k + 512].transpose(0, 3, 1, 2))).argmax(-1).numpy())
+    acc_t = float(np.mean(np.concatenate(outs) == yv))
+    return acc_j, acc_t
+
+
+def test_resnet20_top1_parity_002():
+    """ResNet-20 under the compressed stepped-LR SGD regime: |Δtop-1|
+    ≤ 0.2% on the 4096-sample held-out split, both arms well off
+    saturation."""
+    regime = [
+        {"epoch": 0, "optimizer": "SGD", "lr": 0.1, "momentum": 0.9},
+        {"step": 180, "lr": 0.01},
+        {"step": 260, "lr": 0.001},
+    ]
+    model = models.build("resnet", dataset="cifar10", depth=20)
+    tm = _TorchResNetCifar(20)
+    acc_j, acc_t = _run_protocol(
+        model, regime, tm,
+        lambda m: torch.optim.SGD(m.parameters(), lr=0.1, momentum=0.9))
+    assert 0.55 < acc_j < 0.97, f"task saturated or failed: {acc_j}"
+    assert 0.55 < acc_t < 0.97, f"torch twin saturated or failed: {acc_t}"
+    assert abs(acc_j - acc_t) <= 0.002 + 1e-9, (acc_j, acc_t)
+
+
+class _TConvBNReLU6(nn.Module):
+    def __init__(self, cin, cout, k, s=1, p=0, groups=1, relu6=True):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, s, p, groups=groups, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+        self.relu6 = relu6
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return F.relu6(x) if self.relu6 else x
+
+
+class _TInvertedResidual(nn.Module):
+    def __init__(self, cin, cout, stride, t):
+        super().__init__()
+        hidden = int(round(cin * t))
+        self.use_res = stride == 1 and cin == cout
+        layers = []
+        if t != 1:
+            layers.append(_TConvBNReLU6(cin, hidden, 1))
+        layers.append(_TConvBNReLU6(hidden, hidden, 3, stride, 1,
+                                    groups=hidden))
+        layers.append(_TConvBNReLU6(hidden, cout, 1, relu6=False))
+        self.block = nn.Sequential(*layers)
+
+    def forward(self, x):
+        out = self.block(x)
+        return out + x if self.use_res else out
+
+
+class _TorchMobileNetV2Half(nn.Module):
+    """width=0.5 twin of models/mobilenet_v2.py (its c() rounding)."""
+
+    def __init__(self, classes=10):
+        super().__init__()
+        ref = models.build("mobilenet_v2", width=0.5, num_classes=10)
+        # mirror the computed channel plan by rebuilding from CFG
+        def c(ch, width=0.5):
+            v = max(int(ch * width + 4) // 8 * 8, 8)
+            if v < 0.9 * ch * width:
+                v += 8
+            return v
+        cin = c(32)
+        feats = [_TConvBNReLU6(3, cin, 3, 2, 1)]
+        for t, ch, n, s in ref.CFG:
+            for i in range(n):
+                feats.append(_TInvertedResidual(cin, c(ch),
+                                                s if i == 0 else 1, t))
+                cin = c(ch)
+        feats.append(_TConvBNReLU6(cin, 1280, 1))
+        self.features = nn.Sequential(*feats)
+        self.classifier = nn.Linear(1280, classes)
+
+    def forward(self, x):
+        x = self.features(x).mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+def test_mobilenet_v2_top1_parity_002():
+    """MobileNet-V2 (width 0.5) under its RMSprop regime lineage
+    (alpha=0.9, momentum=0.9, eps=1.0): |Δtop-1| ≤ 0.2%."""
+    regime = [{"epoch": 0, "optimizer": "RMSprop", "alpha": 0.9,
+               "momentum": 0.9, "eps": 1.0,
+               "lr": schedules.step_decay_lr(0.02, 0.98, 1)}]
+    model = models.build("mobilenet_v2", width=0.5, num_classes=10,
+                         dropout=0.0)
+    tm = _TorchMobileNetV2Half()
+    acc_j, acc_t = _run_protocol(
+        model, regime, tm,
+        lambda m: torch.optim.RMSprop(m.parameters(), lr=0.02, alpha=0.9,
+                                      momentum=0.9, eps=1.0),
+        steps=300)
+    assert 0.5 < acc_j < 0.97, f"task saturated or failed: {acc_j}"
+    assert 0.5 < acc_t < 0.97, f"torch twin saturated or failed: {acc_t}"
+    assert abs(acc_j - acc_t) <= 0.002 + 1e-9, (acc_j, acc_t)
+
+
+if __name__ == "__main__":
+    # protocol dry-run: print the measured gaps without asserting
+    regime = [
+        {"epoch": 0, "optimizer": "SGD", "lr": 0.1, "momentum": 0.9},
+        {"step": 180, "lr": 0.01},
+        {"step": 260, "lr": 0.001},
+    ]
+    model = models.build("resnet", dataset="cifar10", depth=20)
+    tm = _TorchResNetCifar(20)
+    aj, at = _run_protocol(
+        model, regime, tm,
+        lambda m: torch.optim.SGD(m.parameters(), lr=0.1, momentum=0.9))
+    print(f"RN20: ours {aj:.4f} torch {at:.4f} gap {abs(aj-at)*100:.2f}%")

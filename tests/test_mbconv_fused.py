@@ -154,3 +154,28 @@ def test_train_gradients_match_unfused():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_model_eval_fused_path_matches_xla():
+    """CONVNET_TPU_FUSED_MBCONV=1 routes eligible MobileNet-V2 blocks
+    (stride 1, 256<=hidden<=640) through the fused kernel in eval mode;
+    whole-model logits must match the XLA path."""
+    import os
+
+    from convnet_tpu import models
+    from convnet_tpu.core.module import apply_module
+
+    model = models.build("mobilenet_v2", width=1.0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    # perturb running stats away from init so BN folding is non-trivial
+    state = jax.tree_util.tree_map(
+        lambda v: v + 0.05 if v.ndim == 1 else v, state)
+    ref, _ = apply_module(model, params, state, x, train=False)
+    os.environ["CONVNET_TPU_FUSED_MBCONV"] = "1"
+    try:
+        got, _ = apply_module(model, params, state, x, train=False)
+    finally:
+        del os.environ["CONVNET_TPU_FUSED_MBCONV"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
