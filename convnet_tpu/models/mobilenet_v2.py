@@ -50,13 +50,16 @@ class InvertedResidual(Module):
         self.block = Sequential(*layers)
 
     def _fused_ok(self, ctx):
-        # Opt-in (CONVNET_TPU_FUSED_MBCONV=1), inference only: the
-        # whole-block Pallas kernel (ops/pallas/mbconv.py) wins ~1.7x
-        # per block where the hidden width keeps block DMA efficient
-        # (>=256 channels; 64-byte rows at 32ch run at ~52 GB/s — jobs
-        # 104-115, PERF_NOTES round 4) and Mosaic compiles it
-        # (960ch crashes the remote compiler). Training mode stays XLA:
-        # the stats passes re-read the input and measured slower.
+        # Opt-in (CONVNET_TPU_FUSED_MBCONV=1), inference only, and
+        # measured a model-level LOSS on v5e (0.86x serving, job 118)
+        # despite standalone per-block wins at 576ch — standalone
+        # timings are dispatch-floor-polluted and in-model XLA fuses
+        # tighter. Kept as the tested escape hatch for backends where
+        # cross-conv fusion is weaker. Eligibility: hidden width must
+        # keep 4D block DMA efficient (>=256 channels; 64-byte rows at
+        # 32ch run at ~52 GB/s — jobs 104-115) and Mosaic must compile
+        # (960ch crashes the remote compiler). Training stays XLA: the
+        # BN stats passes re-read the input and measured 0.42-0.81x.
         import os
         if os.environ.get("CONVNET_TPU_FUSED_MBCONV") != "1":
             return False
