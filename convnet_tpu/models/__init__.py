@@ -18,6 +18,7 @@ from convnet_tpu.models.mnist import mnist_model
 from convnet_tpu.models.densenet import densenet
 from convnet_tpu.models.inception import inception_v3
 from convnet_tpu.models.inception_resnet_v2 import inception_resnet_v2
+from convnet_tpu.models.inception_v4 import inception_v4
 
 REGISTRY = {
     "resnet": resnet,
@@ -34,6 +35,7 @@ REGISTRY = {
     "densenet": densenet,
     "inception_v3": inception_v3,
     "inception_resnet_v2": inception_resnet_v2,
+    "inception_v4": inception_v4,
 }
 
 

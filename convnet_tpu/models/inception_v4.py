@@ -1,0 +1,150 @@
+"""Inception-v4.
+
+Completes the reference's ``models/inception*.py`` family (SURVEY.md
+§2.2 "Other zoo files"; VERDICT r3 missing #5) — the pure-inception
+half of Szegedy et al. 2017 alongside Inception-ResNet-v2. Canonical
+structure (Cadene/timm channel plan, 42,679,816 params):
+
+    stem (3×conv → mixed3a → mixed4a → mixed5a, 384ch @ 35²)
+    → 4×InceptionA → ReductionA (1024 @ 17²)
+    → 7×InceptionB → ReductionB (1536 @ 8²)
+    → 3×InceptionC → global pool → dropout → fc
+
+All convs are the shared ConvBN unit (conv + BN + ReLU, XLA epilogue-
+fusable); branched sub-heads in InceptionC nest `_MultiBranch`. NHWC
+throughout. Embedded regime mirrors the Inception-family stepped SGD
+schedule used by models/inception.py.
+"""
+
+from convnet_tpu.core.module import Module, Sequential, Context
+from convnet_tpu.nn import Linear, MaxPool2d, AvgPool2d, GlobalAvgPool, Dropout
+from convnet_tpu.models.resnet import ConvBN, weight_decay_config
+from convnet_tpu.models.inception import _MultiBranch
+
+
+class Mixed3a(_MultiBranch):
+    """64 → 160 @ 73²: maxpool ‖ conv3×3/2."""
+
+    def __init__(self):
+        self.b1 = Sequential(MaxPool2d(3, 2))
+        self.b2 = Sequential(ConvBN(64, 96, 3, 2))
+
+
+class Mixed4a(_MultiBranch):
+    """160 → 192 @ 71²."""
+
+    def __init__(self):
+        self.b1 = Sequential(ConvBN(160, 64, 1), ConvBN(64, 96, 3))
+        self.b2 = Sequential(ConvBN(160, 64, 1),
+                             ConvBN(64, 64, (1, 7), 1, (0, 3)),
+                             ConvBN(64, 64, (7, 1), 1, (3, 0)),
+                             ConvBN(64, 96, 3))
+
+
+class Mixed5a(_MultiBranch):
+    """192 → 384 @ 35²: conv3×3/2 ‖ maxpool."""
+
+    def __init__(self):
+        self.b1 = Sequential(ConvBN(192, 192, 3, 2))
+        self.b2 = Sequential(MaxPool2d(3, 2))
+
+
+class InceptionA(_MultiBranch):
+    def __init__(self):
+        self.b1 = Sequential(ConvBN(384, 96, 1))
+        self.b2 = Sequential(ConvBN(384, 64, 1), ConvBN(64, 96, 3, 1, 1))
+        self.b3 = Sequential(ConvBN(384, 64, 1), ConvBN(64, 96, 3, 1, 1),
+                             ConvBN(96, 96, 3, 1, 1))
+        self.b4 = Sequential(AvgPool2d(3, 1, 1), ConvBN(384, 96, 1))
+
+
+class ReductionA(_MultiBranch):
+    """384 → 1024 @ 17²."""
+
+    def __init__(self):
+        self.b1 = Sequential(ConvBN(384, 384, 3, 2))
+        self.b2 = Sequential(ConvBN(384, 192, 1), ConvBN(192, 224, 3, 1, 1),
+                             ConvBN(224, 256, 3, 2))
+        self.b3 = Sequential(MaxPool2d(3, 2))
+
+
+class InceptionB(_MultiBranch):
+    def __init__(self):
+        self.b1 = Sequential(ConvBN(1024, 384, 1))
+        self.b2 = Sequential(ConvBN(1024, 192, 1),
+                             ConvBN(192, 224, (1, 7), 1, (0, 3)),
+                             ConvBN(224, 256, (7, 1), 1, (3, 0)))
+        self.b3 = Sequential(ConvBN(1024, 192, 1),
+                             ConvBN(192, 192, (7, 1), 1, (3, 0)),
+                             ConvBN(192, 224, (1, 7), 1, (0, 3)),
+                             ConvBN(224, 224, (7, 1), 1, (3, 0)),
+                             ConvBN(224, 256, (1, 7), 1, (0, 3)))
+        self.b4 = Sequential(AvgPool2d(3, 1, 1), ConvBN(1024, 128, 1))
+
+
+class ReductionB(_MultiBranch):
+    """1024 → 1536 @ 8²."""
+
+    def __init__(self):
+        self.b1 = Sequential(ConvBN(1024, 192, 1), ConvBN(192, 192, 3, 2))
+        self.b2 = Sequential(ConvBN(1024, 256, 1),
+                             ConvBN(256, 256, (1, 7), 1, (0, 3)),
+                             ConvBN(256, 320, (7, 1), 1, (3, 0)),
+                             ConvBN(320, 320, 3, 2))
+        self.b3 = Sequential(MaxPool2d(3, 2))
+
+
+class _SplitHead(_MultiBranch):
+    """Two parallel convs over the same input, concatenated."""
+
+    def __init__(self, in_ch):
+        self.b1 = Sequential(ConvBN(in_ch, 256, (1, 3), 1, (0, 1)))
+        self.b2 = Sequential(ConvBN(in_ch, 256, (3, 1), 1, (1, 0)))
+
+
+class InceptionC(_MultiBranch):
+    def __init__(self):
+        self.b1 = Sequential(ConvBN(1536, 256, 1))
+        self.b2 = Sequential(ConvBN(1536, 384, 1), _SplitHead(384))
+        self.b3 = Sequential(ConvBN(1536, 384, 1),
+                             ConvBN(384, 448, (3, 1), 1, (1, 0)),
+                             ConvBN(448, 512, (1, 3), 1, (0, 1)),
+                             _SplitHead(512))
+        self.b4 = Sequential(AvgPool2d(3, 1, 1), ConvBN(1536, 256, 1))
+
+
+class InceptionV4(Module):
+    def __init__(self, num_classes=1000, dropout=0.2):
+        self.features = Sequential(
+            ConvBN(3, 32, 3, 2), ConvBN(32, 32, 3), ConvBN(32, 64, 3, 1, 1),
+            Mixed3a(), Mixed4a(), Mixed5a(),
+            *[InceptionA() for _ in range(4)],
+            ReductionA(),
+            *[InceptionB() for _ in range(7)],
+            ReductionB(),
+            *[InceptionC() for _ in range(3)],
+        )
+        self.pool = GlobalAvgPool()
+        self.drop = Dropout(dropout)
+        self.fc = Linear(1536, num_classes)
+        self.input_size = 299
+        self.regime = [
+            {"epoch": 0, "optimizer": "SGD", "lr": 0.045, "momentum": 0.9,
+             "regularizer": weight_decay_config(1e-4)},
+            {"epoch": 30, "lr": 4.5e-3},
+            {"epoch": 60, "lr": 4.5e-4},
+        ]
+
+    def __call__(self, params, state, x, ctx: Context):
+        new_state = dict(state)
+        x, new_state["features"] = self.features(
+            params["features"], state["features"], x, ctx)
+        x, _ = self.pool({}, {}, x, ctx)
+        x, _ = self.drop({}, {}, x, ctx)
+        x, _ = self.fc(params["fc"], {}, x, ctx)
+        return x, new_state
+
+
+def inception_v4(**config):
+    config.pop("dataset", None)
+    return InceptionV4(**config)

@@ -307,3 +307,22 @@ def test_aux_loss_mechanism_unit():
     g = jax.grad(lambda p: tr._loss_fn(p, state, x, y,
                                        jax.random.PRNGKey(2), None)[0])(params)
     assert float(jnp.abs(g["aux_fc"]["w"]).max()) > 0
+
+
+@pytest.mark.slow
+def test_inception_v4():
+    """Inception-v4 (completes the reference's inception* family,
+    Szegedy et al. 2017; reference models/inception*.py, SURVEY.md
+    §2.2 'Other zoo files')."""
+    m = models.build("inception_v4")
+    params, state = m.init(jax.random.PRNGKey(0))
+    assert param_count(params) == 42_679_816  # canonical (Cadene/timm)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 96, 96, 3))
+    y, new_state = m(params, state, x, Context(train=True,
+                                               rng=jax.random.PRNGKey(2)))
+    assert y.shape == (2, 1000)
+    assert np.isfinite(np.asarray(y)).all()
+    # eval path (dropout off, running stats) also finite
+    y2, _ = m(params, new_state, x, Context(train=False))
+    assert np.isfinite(np.asarray(y2)).all()
+    assert m.regime[0]["optimizer"] == "SGD" and m.input_size == 299

@@ -693,3 +693,116 @@ def test_import_irv2_block35_parity():
     np.testing.assert_allclose(np.asarray(ours),
                                np.transpose(ref, (0, 2, 3, 1)),
                                rtol=1e-4, atol=1e-4)
+
+
+class _TCat(nn.Module):
+    """Concat container: runs declared branches in order, channel-cat.
+    Pool-first branches wrap the pool inside nn.Sequential so the
+    conv/bn declaration ORDER matches the convnet_tpu module order
+    (the importer pairs units positionally)."""
+
+    def __init__(self, *branches):
+        super().__init__()
+        for i, b in enumerate(branches):
+            setattr(self, f"b{i + 1}", b)
+        self.n = len(branches)
+
+    def forward(self, x):
+        return torch.cat([getattr(self, f"b{i + 1}")(x)
+                          for i in range(self.n)], 1)
+
+
+class _TorchInceptionV4(nn.Module):
+    """Order-faithful twin of convnet_tpu models/inception_v4.py."""
+
+    def __init__(self, classes=11):
+        super().__init__()
+
+        def A():
+            return _TCat(
+                _TConvBN(384, 96, 1),
+                nn.Sequential(_TConvBN(384, 64, 1), _TConvBN(64, 96, 3, 1, 1)),
+                nn.Sequential(_TConvBN(384, 64, 1), _TConvBN(64, 96, 3, 1, 1),
+                              _TConvBN(96, 96, 3, 1, 1)),
+                nn.Sequential(nn.AvgPool2d(3, 1, 1), _TConvBN(384, 96, 1)))
+
+        def B():
+            return _TCat(
+                _TConvBN(1024, 384, 1),
+                nn.Sequential(_TConvBN(1024, 192, 1),
+                              _TConvBN(192, 224, (1, 7), 1, (0, 3)),
+                              _TConvBN(224, 256, (7, 1), 1, (3, 0))),
+                nn.Sequential(_TConvBN(1024, 192, 1),
+                              _TConvBN(192, 192, (7, 1), 1, (3, 0)),
+                              _TConvBN(192, 224, (1, 7), 1, (0, 3)),
+                              _TConvBN(224, 224, (7, 1), 1, (3, 0)),
+                              _TConvBN(224, 256, (1, 7), 1, (0, 3))),
+                nn.Sequential(nn.AvgPool2d(3, 1, 1), _TConvBN(1024, 128, 1)))
+
+        def C():
+            def split(cin):
+                return _TCat(_TConvBN(cin, 256, (1, 3), 1, (0, 1)),
+                             _TConvBN(cin, 256, (3, 1), 1, (1, 0)))
+            return _TCat(
+                _TConvBN(1536, 256, 1),
+                nn.Sequential(_TConvBN(1536, 384, 1), split(384)),
+                nn.Sequential(_TConvBN(1536, 384, 1),
+                              _TConvBN(384, 448, (3, 1), 1, (1, 0)),
+                              _TConvBN(448, 512, (1, 3), 1, (0, 1)),
+                              split(512)),
+                nn.Sequential(nn.AvgPool2d(3, 1, 1), _TConvBN(1536, 256, 1)))
+
+        self.features = nn.Sequential(
+            _TConvBN(3, 32, 3, 2), _TConvBN(32, 32, 3),
+            _TConvBN(32, 64, 3, 1, 1),
+            _TCat(nn.MaxPool2d(3, 2), _TConvBN(64, 96, 3, 2)),      # 3a
+            _TCat(nn.Sequential(_TConvBN(160, 64, 1), _TConvBN(64, 96, 3)),
+                  nn.Sequential(_TConvBN(160, 64, 1),
+                                _TConvBN(64, 64, (1, 7), 1, (0, 3)),
+                                _TConvBN(64, 64, (7, 1), 1, (3, 0)),
+                                _TConvBN(64, 96, 3))),              # 4a
+            _TCat(_TConvBN(192, 192, 3, 2), nn.MaxPool2d(3, 2)),    # 5a
+            A(), A(), A(), A(),
+            _TCat(_TConvBN(384, 384, 3, 2),                         # redA
+                  nn.Sequential(_TConvBN(384, 192, 1),
+                                _TConvBN(192, 224, 3, 1, 1),
+                                _TConvBN(224, 256, 3, 2)),
+                  nn.MaxPool2d(3, 2)),
+            B(), B(), B(), B(), B(), B(), B(),
+            _TCat(nn.Sequential(_TConvBN(1024, 192, 1),             # redB
+                                _TConvBN(192, 192, 3, 2)),
+                  nn.Sequential(_TConvBN(1024, 256, 1),
+                                _TConvBN(256, 256, (1, 7), 1, (0, 3)),
+                                _TConvBN(256, 320, (7, 1), 1, (3, 0)),
+                                _TConvBN(320, 320, 3, 2)),
+                  nn.MaxPool2d(3, 2)),
+            C(), C(), C(),
+        )
+        self.fc = nn.Linear(1536, classes)
+
+    def forward(self, x):
+        x = self.features(x)
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+@pytest.mark.slow
+def test_import_inception_v4_logits_parity():
+    """Full Inception-v4 state_dict import (completes the inception*
+    family — VERDICT r3 #5 / SURVEY §2.2 'Other zoo files'): branched
+    split-heads in InceptionC and pool-first branch ordering exercise
+    positional unit pairing at zoo scale."""
+    rng = np.random.default_rng(13)
+    tm = _TorchInceptionV4()
+    _randomize_bn_stats(tm, rng)
+    tm.eval()
+    model = models.build("inception_v4", num_classes=11, dropout=0.0)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = import_torch_state_dict(tm.state_dict(), model,
+                                            params, state)
+    x = rng.standard_normal((2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    ours, _ = apply_module(model, params, state,
+                           jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                           train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-4)
