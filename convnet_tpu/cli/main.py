@@ -90,6 +90,11 @@ def build_parser():
                    choices=["bf16", "fp16"],
                    help="cast gradients for the all-reduce (halves "
                         "ICI/DCN bytes; grads are re-cast after)")
+    p.add_argument("--flat-optim", action="store_true",
+                   help="flattened optimizer update: one fused vector "
+                        "op instead of per-leaf fusions (measured "
+                        "neutral-to-negative model-level on one chip — "
+                        "scripts/jobs 120-122; opt-in)")
     p.add_argument("--dist-init", default=None,
                    help="multi-host coordinator address host:port")
     p.add_argument("--dist-rank", type=int, default=0)
@@ -220,6 +225,7 @@ def main(argv=None):
         adapt_grad_norm=args.adapt_grad_norm, sync_bn=args.sync_bn,
         shard_opt_state=args.shard_opt_state, model_ema=args.model_ema,
         allreduce_dtype=args.allreduce_dtype,
+        flat_optim=args.flat_optim,
         average_output=args.duplicates > 1, print_freq=args.print_freq)
     trainer = Trainer(model, optim, num_classes, cfg, mesh=mesh,
                       seed=args.seed)

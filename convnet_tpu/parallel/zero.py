@@ -23,6 +23,8 @@ size) so per-leaf divisibility never constrains the mesh.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -105,15 +107,19 @@ def leaf_mask01(params, mask_tree):
                      for f in jax.tree_util.tree_leaves(flags)], np.float32)
 
 
-def segment_sq_sums(vec_slice, seg_slice, n_segments: int, axis_name: str):
-    """Global per-leaf Σx² of a sharded flat vector (one small psum)."""
+def segment_sq_sums(vec_slice, seg_slice, n_segments: int,
+                    axis_name: Optional[str]):
+    """Global per-leaf Σx² of a sharded flat vector (one small psum).
+    With ``axis_name=None`` the vector is unsharded and the local
+    segment sums are already global (the flat-optimizer path,
+    regimes/optim.make_flat_update_fn)."""
     local = jax.ops.segment_sum(jnp.square(vec_slice), seg_slice,
                                 num_segments=n_segments)
-    return lax.psum(local, axis_name)
+    return lax.psum(local, axis_name) if axis_name is not None else local
 
 
 def lars_step_sharded(p_slice, g_slice, opt_state, hp, *, mask01,
-                      seg_slice, w_sq, n_leaves: int, axis_name: str):
+                      seg_slice, w_sq, n_leaves: int, axis_name: Optional[str]):
     """LARS on a ZeRO-1 shard. ``w_sq`` is the per-leaf Σw² of the full
     (replicated) params; gradient norms come from segment-reduced
     shards. Elementwise math mirrors regimes.optim.lars_step."""
@@ -137,7 +143,7 @@ def lars_step_sharded(p_slice, g_slice, opt_state, hp, *, mask01,
 
 def lamb_step_sharded(p_slice, g_slice, opt_state, hp, *, mask01,
                       seg_slice, w_sq, leaf_mask, n_leaves: int,
-                      axis_name: str):
+                      axis_name: Optional[str]):
     """LAMB on a ZeRO-1 shard; mirrors regimes.optim.lamb_step with the
     trust ratio's ||w||/||update|| recovered by segment psums."""
     step = opt_state["step"] + 1

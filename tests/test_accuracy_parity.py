@@ -5,10 +5,14 @@ Round 3's generalization twin saturated at 100% (job 051 /
 test_torch_trajectory2.py), so its 1% band asserted little. This
 protocol (VERDICT r3 #5, documented in PARITY.md) fixes both gaps:
 
-- **non-saturating task**: StructuredSyntheticDataset at noise=2.2
-  lands both frameworks at ~80% held-out accuracy (probed range:
-  noise 1.8 → 91%, 2.4 → 70%, 3.0 → 53%), so a real accuracy gap has
-  room to show in either direction;
+- **non-saturating task**: StructuredSyntheticDataset at noise=1.2
+  with only 512 training samples lands ResNet-20 at ~82% held-out
+  accuracy (measured probes, round 4: the noise axis alone cliffs —
+  4096-sample val acc is 100%/99.9%/99.0%/15% at noise
+  0.6/0.9/1.2/2.2 because σ≥2 swamps the [0.15,0.85] prototype range
+  after uint8 clipping; shrinking the train set moves accuracy
+  smoothly: 4096/1024/512 samples @1.2 → 99%/93%/82%), so a real
+  accuracy gap has room to show in either direction;
 - **full-regime training**: the stepped-LR schedule (0.1 → 0.01 →
   0.001) compressed to 300 steps, momentum SGD, matched init (our
   init exported into torch via the shipped importer), matched batch
@@ -42,8 +46,8 @@ from convnet_tpu.utils.torch_import import export_into_torch_state_dict
 
 pytestmark = pytest.mark.slow
 
-NOISE = 2.2
-TRAIN_N, VAL_N = 4096, 4096
+NOISE = 1.2
+TRAIN_N, VAL_N = 512, 4096
 
 
 class _TorchResNetCifar(nn.Module):
