@@ -96,22 +96,21 @@ def main():
     # ordered substring match: the "lite" variants must precede the
     # bare "v5" fallback (libtpu reports v5e as "TPU v5 lite" but v5p
     # as plain "TPU v5" in some versions — a bare-"v5" kind is v5p)
-    peaks = [("v6e", 918e12), ("v6 lite", 918e12),
-             ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
-             ("v5", 459e12), ("v4", 275e12), ("v3", 123e12)]
-    peak = next((p for k, p in peaks if k in kind), None)
+    # one row per generation: (kind substring, bf16 peak FLOP/s,
+    # HBM bandwidth B/s). HBM speed-of-light is the fraction of the
+    # bandwidth the step's XLA-counted HBM traffic sustains — the
+    # binding ceiling for traffic-bound models (jobs 010-013: RN50's
+    # dominant backward fusions run at ~90% of it).
+    peaks = [("v6e", 918e12, 1640e9), ("v6 lite", 918e12, 1640e9),
+             ("v5 lite", 197e12, 819e9), ("v5e", 197e12, 819e9),
+             ("v5p", 459e12, 2765e9), ("v5", 459e12, 2765e9),
+             ("v4", 275e12, 1228e9), ("v3", 123e12, 900e9)]
+    peak, hbm_bw = next(((f, b) for k, f, b in peaks if k in kind),
+                        (None, None))
     peak_known = peak is not None
     if peak is None:
-        peak = 197e12
+        peak, hbm_bw = 197e12, 819e9  # v5e figures as the fallback
     model_tflops = step_flops / p50 / 1e12
-    # HBM speed-of-light: the fraction of the device's memory bandwidth
-    # the step's XLA-counted HBM traffic sustains — the binding ceiling
-    # for traffic-bound models (jobs 010-013: RN50's dominant backward
-    # fusions run at ~90% of it). Bandwidth by generation (GB/s).
-    hbm_peaks = [("v6e", 1640e9), ("v6 lite", 1640e9),
-                 ("v5 lite", 819e9), ("v5e", 819e9), ("v5p", 2765e9),
-                 ("v5", 2765e9), ("v4", 1228e9), ("v3", 900e9)]
-    hbm_bw = next((p for k, p in hbm_peaks if k in kind), 819e9)
 
     result = {
         "metric": "resnet50_train_images_per_sec_per_chip",

@@ -32,7 +32,8 @@ class Mixed5b(_MultiBranch):
         self.b2 = Sequential(ConvBN(192, 48, 1), ConvBN(48, 64, 5, 1, 2))
         self.b3 = Sequential(ConvBN(192, 64, 1), ConvBN(64, 96, 3, 1, 1),
                              ConvBN(96, 96, 3, 1, 1))
-        self.b4 = Sequential(AvgPool2d(3, 1, 1), ConvBN(192, 64, 1))
+        self.b4 = Sequential(AvgPool2d(3, 1, 1, count_include_pad=False),
+                             ConvBN(192, 64, 1))
         self.out_channels = 96 + 64 + 96 + 64
 
 

@@ -55,7 +55,8 @@ class InceptionA(_MultiBranch):
         self.b2 = Sequential(ConvBN(384, 64, 1), ConvBN(64, 96, 3, 1, 1))
         self.b3 = Sequential(ConvBN(384, 64, 1), ConvBN(64, 96, 3, 1, 1),
                              ConvBN(96, 96, 3, 1, 1))
-        self.b4 = Sequential(AvgPool2d(3, 1, 1), ConvBN(384, 96, 1))
+        self.b4 = Sequential(AvgPool2d(3, 1, 1, count_include_pad=False),
+                             ConvBN(384, 96, 1))
 
 
 class ReductionA(_MultiBranch):
@@ -79,7 +80,8 @@ class InceptionB(_MultiBranch):
                              ConvBN(192, 224, (1, 7), 1, (0, 3)),
                              ConvBN(224, 224, (7, 1), 1, (3, 0)),
                              ConvBN(224, 256, (1, 7), 1, (0, 3)))
-        self.b4 = Sequential(AvgPool2d(3, 1, 1), ConvBN(1024, 128, 1))
+        self.b4 = Sequential(AvgPool2d(3, 1, 1, count_include_pad=False),
+                             ConvBN(1024, 128, 1))
 
 
 class ReductionB(_MultiBranch):
@@ -110,7 +112,8 @@ class InceptionC(_MultiBranch):
                              ConvBN(384, 448, (3, 1), 1, (1, 0)),
                              ConvBN(448, 512, (1, 3), 1, (0, 1)),
                              _SplitHead(512))
-        self.b4 = Sequential(AvgPool2d(3, 1, 1), ConvBN(1536, 256, 1))
+        self.b4 = Sequential(AvgPool2d(3, 1, 1, count_include_pad=False),
+                             ConvBN(1536, 256, 1))
 
 
 class InceptionV4(Module):

@@ -65,7 +65,8 @@ class InvertedResidual(Module):
             return False
         if ctx.train or ctx.quant is not None or ctx.spatial_axis is not None:
             return False
-        return (self.stride == 1 and 256 <= self.hidden <= 640)
+        from convnet_tpu.ops.pallas import mbconv
+        return mbconv.supported(self.stride, 3) and 256 <= self.hidden <= 640
 
     def __call__(self, params, state, x, ctx: Context):
         if self._fused_ok(ctx):
@@ -77,10 +78,9 @@ class InvertedResidual(Module):
             def fold(i):
                 cb = kids[i]
                 p, st = bp[names[i]], bs[names[i]]
-                inv = jax.lax.rsqrt(st["bn"]["var"] + cb.bn.eps)
-                s = p["bn"]["scale"].astype(jax.numpy.float32) * inv
-                t = (p["bn"]["bias"].astype(jax.numpy.float32)
-                     - st["bn"]["mean"] * s)
+                s, t = mbconv._fold(p["bn"]["scale"], p["bn"]["bias"],
+                                    st["bn"]["mean"], st["bn"]["var"],
+                                    cb.bn.eps)
                 return p["conv"]["w"], s, t
 
             if self.has_expand:

@@ -246,16 +246,25 @@ class MaxPool2d(_Stateless):
 
 
 class AvgPool2d(_Stateless):
-    def __init__(self, kernel_size, stride=None, padding=0):
+    """``count_include_pad`` mirrors torch.nn.AvgPool2d: True divides
+    every window by kernel area (torchvision Inception-v3 semantics);
+    False divides by the number of in-bounds taps (canonical
+    Cadene/timm Inception-v4 / Inception-ResNet-v2 branch pools)."""
+
+    def __init__(self, kernel_size, stride=None, padding=0,
+                 count_include_pad=True):
         self.kernel_size, self.stride, self.padding = kernel_size, stride, padding
+        self.count_include_pad = count_include_pad
 
     def __call__(self, params, state, x, ctx):
         if getattr(ctx, "spatial_axis", None) is not None:
             from convnet_tpu.parallel.spatial import avg_pool2d_spatial
-            return avg_pool2d_spatial(x, self.kernel_size, self.stride,
-                                      self.padding,
-                                      axis_name=ctx.spatial_axis), state
-        return ops.avg_pool2d(x, self.kernel_size, self.stride, self.padding), state
+            return avg_pool2d_spatial(
+                x, self.kernel_size, self.stride, self.padding,
+                axis_name=ctx.spatial_axis,
+                count_include_pad=self.count_include_pad), state
+        return ops.avg_pool2d(x, self.kernel_size, self.stride, self.padding,
+                              count_include_pad=self.count_include_pad), state
 
 
 class GlobalAvgPool(_Stateless):

@@ -121,9 +121,14 @@ def max_pool2d_spatial(x, kernel, stride=None, padding=0,
 
 
 def avg_pool2d_spatial(x, kernel, stride=None, padding=0,
-                       axis_name: str = "spatial"):
-    """Average pooling with halo rows; zero-fill halos at true edges
-    reproduce count_include_pad=True semantics."""
+                       axis_name: str = "spatial", count_include_pad=True):
+    """Average pooling with halo rows. Zero-fill halos at true edges
+    reproduce count_include_pad=True semantics directly; for
+    count_include_pad=False (Cadene/timm Inception-v4/-ResNet-v2
+    branch pools) a ones-mask is pooled through the SAME halo
+    machinery — true-edge halos and W padding arrive as zeros
+    (out-of-bounds taps), interior halos as ones from the neighbor
+    shard — giving the exact in-bounds tap count per window."""
     from convnet_tpu import ops
     stride = stride if stride is not None else kernel
     kh, _kw = _pair(kernel)
@@ -133,11 +138,22 @@ def avg_pool2d_spatial(x, kernel, stride=None, padding=0,
     if max(up, down) > x.shape[1]:
         return _gather_compute_slice(
             x, axis_name,
-            lambda full: ops.avg_pool2d(full, kernel, stride, (ph, pw)))
+            lambda full: ops.avg_pool2d(full, kernel, stride, (ph, pw),
+                                        count_include_pad=count_include_pad))
     xh = halo_pad_rows(x, axis_name, up, down, fill=0.0)
     if pw:
         xh = jnp.pad(xh, ((0, 0), (0, 0), (pw, pw), (0, 0)))
-    return ops.avg_pool2d(xh, kernel, stride, 0)
+    y = ops.avg_pool2d(xh, kernel, stride, 0)
+    if count_include_pad:
+        return y
+    ones = jnp.ones((1,) + x.shape[1:3] + (1,), jnp.float32)
+    oh = halo_pad_rows(ones, axis_name, up, down, fill=0.0)
+    if pw:
+        oh = jnp.pad(oh, ((0, 0), (0, 0), (pw, pw), (0, 0)))
+    # include-pad pool of the mask = tap_count/(kh*kw); the ratio
+    # y/cnt is exactly window_sum/tap_count. cnt is data-independent.
+    cnt = jax.lax.stop_gradient(ops.avg_pool2d(oh, kernel, stride, 0))
+    return (y.astype(jnp.float32) / jnp.maximum(cnt, 1e-12)).astype(x.dtype)
 
 
 def flatten_spatial(x, axis_name: str = "spatial"):

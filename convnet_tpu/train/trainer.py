@@ -358,11 +358,10 @@ class Trainer:
                     lambda g: g.astype(jnp.float32), grads))
                 flat_p, unravel = ravel_pytree(params)
                 fdt = flat_p.dtype
-                gnorm = jnp.sqrt(jnp.sum(jnp.square(flat_g)))
-                cscale = jnp.where(
-                    (hp["grad_clip"] > 0) & (gnorm > hp["grad_clip"]),
-                    hp["grad_clip"] / jnp.maximum(gnorm, 1e-12), 1.0)
-                flat_g = flat_g * cscale
+                # same helper as the tree path — the flat vector is
+                # just a one-leaf pytree, global norm is the same sum
+                flat_g, gnorm = clip_by_global_norm(flat_g,
+                                                    hp["grad_clip"])
                 flat_p, opt_state = update_fn(flat_p, flat_g,
                                               opt_state, hp)
                 if cfg.model_ema > 0:
@@ -466,7 +465,11 @@ class Trainer:
         self._wd_mask = (wd_mask_tree if wd_mask_tree is not None
                          else default_mask(params))
         if self.cfg.shard_opt_state:
-            self._flat_optim = False  # ZeRO-1 has its own flat-shard path
+            # ZeRO-1 already keeps optimizer state as flat shards
+            self._flat_optim = False
+            if self.cfg.flat_optim:
+                logging.warning("--flat-optim ignored: shard_opt_state "
+                                "(ZeRO-1) is already a flat-shard path")
             if self.optim.uses_bounded_norm:
                 raise ValueError("shard_opt_state is incompatible with "
                                  "BoundedWeightNorm")
@@ -509,6 +512,9 @@ class Trainer:
         # tree↔flat on resume (adapt_opt_state).
         self._flat_optim = (self.cfg.flat_optim
                             and not self.optim.uses_bounded_norm)
+        if self.cfg.flat_optim and self.optim.uses_bounded_norm:
+            logging.warning("--flat-optim ignored: BoundedWeightNorm "
+                            "regimes renormalize per parameter leaf")
         if self._flat_optim:
             from jax.flatten_util import ravel_pytree
             flat_p, self._unravel = ravel_pytree(params)

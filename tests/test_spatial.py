@@ -192,6 +192,37 @@ def test_spatial_avgpool_matches_unsharded():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_spatial_avgpool_count_exclude_pad_matches_unsharded():
+    """count_include_pad=False (the Cadene Inception-v4/-ResNet-v2
+    branch-pool semantics): true-edge windows divide by in-bounds tap
+    count; shard-boundary windows must NOT be treated as edges."""
+    mesh = _spatial_mesh(4)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 32, 16, 8)).astype(np.float32))
+    from convnet_tpu import ops
+    ref = ops.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+    def f(x):
+        return sp.avg_pool2d_spatial(x, 3, 1, 1,
+                                     count_include_pad=False)
+
+    out = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, "spatial"),
+                            out_specs=P(None, "spatial"),
+                            check_vma=False))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # gradients route halo cotangents back across shards correctly
+    g_ref = jax.grad(lambda v: jnp.sum(
+        ops.avg_pool2d(v, 3, 1, 1, count_include_pad=False) ** 2))(x)
+    g_sp = jax.jit(shard_map(
+        jax.grad(lambda v: jnp.sum(f(v) ** 2)), mesh=mesh,
+        in_specs=P(None, "spatial"), out_specs=P(None, "spatial"),
+        check_vma=False))(x)
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_spatial_flatten_gathers():
     mesh = _spatial_mesh(4)
     x = jnp.arange(2 * 8 * 2 * 3, dtype=jnp.float32).reshape(2, 8, 2, 3)

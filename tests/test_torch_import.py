@@ -614,7 +614,8 @@ class _TorchInceptionResNetV2(nn.Module):
         m5b.b4 = _TConvBN(192, 64, 1)
         m5b.forward = lambda x, s=m5b: torch.cat(
             [s.b1(x), s.b2(x), s.b3(x),
-             s.b4(nn.functional.avg_pool2d(x, 3, 1, 1))], 1)
+             s.b4(nn.functional.avg_pool2d(x, 3, 1, 1,
+                                           count_include_pad=False))], 1)
         self.mixed_5b = m5b
         self.block35 = nn.Sequential(*[_t_block35() for _ in range(10)])
         m6a = _TIRv2Block(0.0)
@@ -724,7 +725,8 @@ class _TorchInceptionV4(nn.Module):
                 nn.Sequential(_TConvBN(384, 64, 1), _TConvBN(64, 96, 3, 1, 1)),
                 nn.Sequential(_TConvBN(384, 64, 1), _TConvBN(64, 96, 3, 1, 1),
                               _TConvBN(96, 96, 3, 1, 1)),
-                nn.Sequential(nn.AvgPool2d(3, 1, 1), _TConvBN(384, 96, 1)))
+                nn.Sequential(nn.AvgPool2d(3, 1, 1, count_include_pad=False),
+                              _TConvBN(384, 96, 1)))
 
         def B():
             return _TCat(
@@ -737,7 +739,8 @@ class _TorchInceptionV4(nn.Module):
                               _TConvBN(192, 224, (1, 7), 1, (0, 3)),
                               _TConvBN(224, 224, (7, 1), 1, (3, 0)),
                               _TConvBN(224, 256, (1, 7), 1, (0, 3))),
-                nn.Sequential(nn.AvgPool2d(3, 1, 1), _TConvBN(1024, 128, 1)))
+                nn.Sequential(nn.AvgPool2d(3, 1, 1, count_include_pad=False),
+                              _TConvBN(1024, 128, 1)))
 
         def C():
             def split(cin):
@@ -750,7 +753,8 @@ class _TorchInceptionV4(nn.Module):
                               _TConvBN(384, 448, (3, 1), 1, (1, 0)),
                               _TConvBN(448, 512, (1, 3), 1, (0, 1)),
                               split(512)),
-                nn.Sequential(nn.AvgPool2d(3, 1, 1), _TConvBN(1536, 256, 1)))
+                nn.Sequential(nn.AvgPool2d(3, 1, 1, count_include_pad=False),
+                              _TConvBN(1536, 256, 1)))
 
         self.features = nn.Sequential(
             _TConvBN(3, 32, 3, 2), _TConvBN(32, 32, 3),
