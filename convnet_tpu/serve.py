@@ -47,12 +47,13 @@ def _is_torch_checkpoint(path) -> bool:
 
 
 class Predictor:
-    def __init__(self, model_name: str, model_config: Optional[dict] = None,
+    def __init__(self, model_name: Optional[str] = None,
+                 model_config: Optional[dict] = None,
                  checkpoint: Optional[str] = None, dtype: str = "bf16",
                  batch_size: int = 64, absorb_bn: bool = True,
                  impl: Optional[str] = None, normalize="auto",
                  quantize: Optional[str] = None, calibration=None,
-                 input_size: int = 224):
+                 input_size: Optional[int] = None):
         """``normalize``: dataset mean/std applied on-device after the
         /255 scaling — the same normalization the training pipeline
         applies (data/preprocess.py DATASET_STATS), so checkpoints
@@ -72,15 +73,37 @@ class Predictor:
         ``calibration``: (N, H, W, C) uint8/float images for the range
         observation pass (same distribution as serving traffic); when
         omitted, random images of ``input_size`` are used — functional,
-        but real calibration data gives tighter ranges."""
+        but real calibration data gives tighter ranges.
+
+        ``model_name=None``: self-describing serving — framework
+        checkpoints record the model name + full model config at save
+        time (cli/main.py save_checkpoint dicts), so the Predictor
+        rebuilds the exact trained architecture from the checkpoint
+        alone; any ``model_config`` entries given here override the
+        saved ones. Mirrors the reference's resume path, which rebuilds
+        from the saved config (main.py resume branch, SURVEY.md §3.2).
+        Torch checkpoints don't reliably carry the factory name, so
+        they still require ``model_name``."""
+        ckpt = None
+        is_torch = bool(checkpoint) and _is_torch_checkpoint(checkpoint)
+        if checkpoint and not is_torch:
+            ckpt = load_checkpoint(checkpoint)
+        if not model_name:
+            if ckpt is None or not ckpt.get("model"):
+                raise ValueError(
+                    "model_name omitted: requires a framework checkpoint "
+                    "that records its model (torch checkpoints and "
+                    "checkpoint-free serving need an explicit model_name)")
+            model_name = ckpt["model"]
+            merged = dict(ckpt.get("config") or {})
+            merged.update(model_config or {})
+            model_config = merged
         self.model = models.build(model_name, **(model_config or {}))
         self.policy = get_policy(dtype)
         self.batch_size = batch_size
         self.impl = impl or "xla"
-        self.input_size = input_size
 
-        ckpt = None
-        if checkpoint and _is_torch_checkpoint(checkpoint):
+        if is_torch:
             # serve straight from a PyTorch reference checkpoint
             # (reference evaluate journey, main.py:~280 approx.)
             from convnet_tpu.utils.torch_import import load_torch_checkpoint
@@ -89,8 +112,7 @@ class Predictor:
             params, state, meta = load_torch_checkpoint(
                 checkpoint, self.model, params, state)
             ckpt = {"config": meta.get("config", {})}
-        elif checkpoint:
-            ckpt = load_checkpoint(checkpoint)
+        elif ckpt is not None:
             params, state = ckpt["params"], ckpt["state"]
             params = jax.tree_util.tree_map(jnp.asarray, params)
             state = jax.tree_util.tree_map(jnp.asarray, state)
@@ -102,12 +124,19 @@ class Predictor:
         self.state = jax.device_put(state)
 
         from convnet_tpu.data.preprocess import DATASET_STATS
+        dataset = ((ckpt or {}).get("config") or {}).get("dataset") or \
+            (model_config or {}).get("dataset") or \
+            (model_name if model_name.lower() in DATASET_STATS
+             else "imagenet")
+        dataset = str(dataset).lower()
+        if input_size is None:
+            # match the training pipeline's eval geometry for the
+            # checkpoint's dataset (data/preprocess.py transforms)
+            input_size = {"cifar10": 32, "cifar100": 32,
+                          "mnist": 28, "stl10": 96}.get(dataset, 224)
+        self.input_size = input_size
         if normalize == "auto":
-            dataset = ((ckpt or {}).get("config") or {}).get("dataset") or \
-                (model_config or {}).get("dataset") or \
-                (model_name if model_name.lower() in DATASET_STATS
-                 else "imagenet")
-            normalize = DATASET_STATS.get(str(dataset).lower(),
+            normalize = DATASET_STATS.get(dataset,
                                           DATASET_STATS["imagenet"])
         elif isinstance(normalize, str):
             normalize = DATASET_STATS[normalize.lower()]
@@ -187,6 +216,14 @@ class Predictor:
 
     def __call__(self, x):
         return self.predict_logits(x)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint: str, **kwargs) -> "Predictor":
+        """One-line deployment from a training run: the checkpoint's
+        recorded model name + config rebuild the architecture (see
+        ``__init__`` model_name=None). ``checkpoint`` may be the run
+        directory itself (resolves checkpoint.npz)."""
+        return cls(checkpoint=checkpoint, **kwargs)
 
     def export(self, path: Optional[str] = None, platforms=None) -> bytes:
         """Serialize the serving function as a self-contained StableHLO

@@ -241,7 +241,8 @@ def _main(argv=None):
                         "instead of model+checkpoint")
     p.add_argument("--dtype", default="bf16")
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--input-size", type=int, default=224)
+    p.add_argument("--input-size", type=int, default=None,
+                   help="default: inferred from the checkpoint's dataset")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
@@ -253,7 +254,7 @@ def _main(argv=None):
         import ast
         from convnet_tpu.serve import Predictor
         predictor = Predictor(
-            args.model,
+            args.model or None,  # omitted → rebuilt from the checkpoint
             ast.literal_eval(args.model_config) if args.model_config else {},
             checkpoint=args.checkpoint or None, dtype=args.dtype,
             batch_size=args.batch_size, input_size=args.input_size)

@@ -41,6 +41,32 @@ def test_predictor_from_checkpoint(tmp_path):
                                atol=1e-3)
 
 
+def test_predictor_self_describing_checkpoint(tmp_path):
+    """model_name=None: framework checkpoints record model+config at
+    save time (cli/main.py), so serving needs only the path — mirrors
+    the reference's rebuild-from-saved-config resume (main.py resume
+    branch). input_size resolves from the recorded dataset (32)."""
+    m = models.build("resnet", dataset="cifar10", depth=20)
+    params, state = m.init(jax.random.PRNGKey(3))
+    save_checkpoint({"params": params, "state": state, "epoch": 0,
+                     "model": "resnet",
+                     "config": {"dataset": "cifar10", "depth": 20}},
+                    False, str(tmp_path))
+    p = Predictor.from_checkpoint(str(tmp_path), dtype="float32",
+                                  batch_size=4, impl="xla", normalize=None)
+    assert p.input_size == 32
+    x = np.random.default_rng(4).random((3, 32, 32, 3)).astype(np.float32)
+    y_ref, _ = m(params, state, jnp.asarray(x), Context(train=False))
+    np.testing.assert_allclose(p.predict_logits(x), np.asarray(y_ref),
+                               rtol=1e-3, atol=1e-3)
+    # a checkpoint without recorded model metadata must fail loudly
+    save_checkpoint({"params": params, "state": state, "epoch": 0},
+                    False, str(tmp_path), filename="bare.npz")
+    import pytest
+    with pytest.raises(ValueError, match="model_name"):
+        Predictor(checkpoint=str(tmp_path / "bare.npz"))
+
+
 def test_predictor_applies_dataset_normalization(tmp_path):
     """The serving forward must apply the SAME mean/std normalization
     the training pipeline applied (data/preprocess.py), resolved from
