@@ -53,7 +53,7 @@ class Predictor:
                  batch_size: int = 64, absorb_bn: bool = True,
                  impl: Optional[str] = None, normalize="auto",
                  quantize: Optional[str] = None, calibration=None,
-                 input_size: Optional[int] = None):
+                 input_size: Optional[int] = None, devices=None):
         """``normalize``: dataset mean/std applied on-device after the
         /255 scaling — the same normalization the training pipeline
         applies (data/preprocess.py DATASET_STATS), so checkpoints
@@ -83,7 +83,18 @@ class Predictor:
         saved ones. Mirrors the reference's resume path, which rebuilds
         from the saved config (main.py resume branch, SURVEY.md §3.2).
         Torch checkpoints don't reliably carry the factory name, so
-        they still require ``model_name``."""
+        they still require ``model_name``.
+
+        ``devices``: data-parallel serving over multiple chips —
+        ``"all"`` (every local device), an int (first N), or an
+        explicit device list. Weights are replicated and each compiled
+        batch is sharded over the batch axis of a 1-D mesh; since
+        inference has no cross-sample ops (eval BN uses running
+        stats), XLA emits zero collectives — pure throughput scaling.
+        ``batch_size`` must divide evenly across the devices. The
+        reference's analog is the nn.DataParallel eval wrap
+        (train.py:~25–80 approx.); here it is a sharding annotation,
+        not a replicating wrapper module."""
         ckpt = None
         is_torch = bool(checkpoint) and _is_torch_checkpoint(checkpoint)
         if checkpoint and not is_torch:
@@ -120,8 +131,33 @@ class Predictor:
             params, state = self.model.init(jax.random.PRNGKey(0), self.policy)
         if absorb_bn:
             params, state = search_absorb_bn(params, state)
-        self.params = jax.device_put(params)
-        self.state = jax.device_put(state)
+
+        self._mesh = None
+        self._x_sharding = None
+        if devices is not None:
+            devs = jax.local_devices()
+            if devices == "all":
+                pass
+            elif isinstance(devices, int):
+                devs = devs[:devices]
+            else:
+                devs = list(devices)
+            if batch_size % len(devs):
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"{len(devs)} serving devices")
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            self._mesh = Mesh(np.array(devs), ("data",))
+            self._x_sharding = NamedSharding(self._mesh,
+                                             PartitionSpec("data"))
+            replicated = NamedSharding(self._mesh, PartitionSpec())
+            put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda a: jax.device_put(jnp.asarray(a), replicated), t)
+            self.params = put(params)
+            self.state = put(state)
+        else:
+            self.params = jax.device_put(params)
+            self.state = jax.device_put(state)
 
         from convnet_tpu.data.preprocess import DATASET_STATS
         dataset = ((ckpt or {}).get("config") or {}).get("dataset") or \
@@ -204,8 +240,11 @@ class Predictor:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            logits = self._forward(self.params, self.state,
-                                   jnp.asarray(chunk))
+            if self._x_sharding is not None:
+                chunk = jax.device_put(chunk, self._x_sharding)
+            else:
+                chunk = jnp.asarray(chunk)
+            logits = self._forward(self.params, self.state, chunk)
             outs.append(np.asarray(logits)[:self.batch_size - pad or None])
         return np.concatenate(outs)[:n]
 
@@ -240,6 +279,11 @@ class Predictor:
         ``("tpu", "cpu")`` for a cross-platform artifact (requires
         impl='xla' — Pallas kernels are backend-specific); default =
         the current backend only."""
+        if self._mesh is not None:
+            raise ValueError(
+                "export requires a single-device Predictor (the "
+                "artifact would pin the serving site to this exact "
+                "device topology); build with devices=None to export")
         from jax import export as jexport
         params, state, fwd = self.params, self.state, self._forward
 

@@ -243,6 +243,9 @@ def _main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--input-size", type=int, default=None,
                    help="default: inferred from the checkpoint's dataset")
+    p.add_argument("--devices", default=None,
+                   help="data-parallel serving: 'all' or a device count"
+                        " (batch shards over a 1-D local mesh)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
@@ -257,7 +260,10 @@ def _main(argv=None):
             args.model or None,  # omitted → rebuilt from the checkpoint
             ast.literal_eval(args.model_config) if args.model_config else {},
             checkpoint=args.checkpoint or None, dtype=args.dtype,
-            batch_size=args.batch_size, input_size=args.input_size)
+            batch_size=args.batch_size, input_size=args.input_size,
+            devices=(None if args.devices is None else
+                     args.devices if args.devices == "all"
+                     else int(args.devices)))
     PredictionServer(predictor, args.host, args.port).serve_forever()
 
 

@@ -100,6 +100,43 @@ def test_predictor_applies_dataset_normalization(tmp_path):
                                atol=1e-3)
 
 
+def test_predictor_data_parallel_serving():
+    """devices='all': weights replicate, the compiled batch shards over
+    a 1-D mesh of the 8 virtual devices — logits must be identical to
+    the single-device predictor, and the compiled HLO must contain NO
+    collectives (inference has no cross-sample ops, so data-parallel
+    serving is pure sharding, zero communication)."""
+    kw = dict(model_config={"dataset": "cifar10", "depth": 8},
+              dtype="float32", batch_size=8, impl="xla", normalize=None)
+    single = Predictor("resnet", **kw)
+    multi = Predictor("resnet", devices="all", **kw)
+    # identical init (PRNGKey(0) both) → identical logits expected
+    x = np.random.default_rng(3).random((20, 32, 32, 3)).astype(np.float32)
+    np.testing.assert_allclose(multi.predict_logits(x),
+                               single.predict_logits(x),
+                               rtol=1e-4, atol=1e-4)
+
+    # sharding really happened: 8 shards, one per device
+    xb = jax.device_put(jnp.zeros((8, 32, 32, 3), jnp.float32),
+                        multi._x_sharding)
+    assert len({s.device for s in xb.addressable_shards}) == \
+        len(jax.local_devices())
+    # zero collectives in the compiled serving step
+    hlo = multi._forward.lower(multi.params, multi.state, xb) \
+        .compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "reduce-scatter", "all-to-all"):
+        assert coll not in hlo, f"unexpected collective {coll}"
+
+    import pytest
+    with pytest.raises(ValueError, match="single-device"):
+        multi.export()
+    with pytest.raises(ValueError, match="divisible"):
+        Predictor("resnet", devices=3,
+                  model_config={"dataset": "cifar10", "depth": 8},
+                  batch_size=8)
+
+
 def test_predictor_uint8_input():
     p = Predictor("mnist", batch_size=4, dtype="float32", impl="xla")
     x = np.random.default_rng(0).integers(0, 256, (3, 28, 28, 1),
