@@ -44,7 +44,11 @@ def build_parser():
                    help="deterministic multi-crop TTA at eval "
                         "(use with --duplicates 5 or 10)")
     # model
-    p.add_argument("--model", default="resnet")
+    p.add_argument("--model", default=None,
+                   help="model factory name (default resnet; with "
+                        "--resume/--evaluate and no explicit --model, "
+                        "restored from the checkpoint's recorded "
+                        "model + config)")
     p.add_argument("--model-config", default="",
                    help="python-literal dict merged into model factory kwargs")
     # training
@@ -143,8 +147,8 @@ def main(argv=None):
     from convnet_tpu.regimes.optim import OptimRegime
     from convnet_tpu.train.trainer import Trainer, TrainerConfig
     from convnet_tpu.utils.checkpoint import (
-        save_checkpoint, load_checkpoint, tree_dtype_cast_like,
-        tree_place_like, adapt_opt_state)
+        save_checkpoint, load_checkpoint, peek_checkpoint_meta,
+        tree_dtype_cast_like, tree_place_like, adapt_opt_state)
     from convnet_tpu.utils.log import (
         setup_logging, ResultsLog, export_args_namespace)
     from convnet_tpu.utils.misc import set_global_seeds
@@ -176,6 +180,27 @@ def main(argv=None):
 
     # ---- model (embedded regime) ------------------------------------
     model_config = ast.literal_eval(args.model_config) if args.model_config else {}
+    if args.resume or args.evaluate:
+        # framework checkpoints are self-describing: adopt the recorded
+        # model + config unless the user explicitly overrode them
+        # (reference resume rebuilds from args only; this removes the
+        # re-specify-your-flags failure mode)
+        try:
+            meta = peek_checkpoint_meta(args.resume or args.evaluate)
+        except Exception:
+            meta = {}  # torch / missing file — surfaced at load time
+        if meta.get("model"):
+            if args.model is None and not args.model_config:
+                args.model = meta["model"]
+                model_config = dict(meta.get("config") or {})
+                log.info("model restored from checkpoint: %s %s",
+                         args.model, model_config)
+            elif args.model is not None and args.model != meta["model"]:
+                log.warning("--model %s != checkpoint's recorded model "
+                            "%s — the load will fail unless the "
+                            "architectures match", args.model,
+                            meta["model"])
+    args.model = args.model or "resnet"
     model_config.setdefault("dataset", args.dataset)
     if args.dataset.startswith("synthetic") and "dataset" in model_config:
         model_config["dataset"] = ("cifar10" if "imagenet" not in args.dataset

@@ -151,6 +151,22 @@ def save_checkpoint(ckpt: Dict[str, Any], is_best: bool, path: str = ".",
     return target
 
 
+def peek_checkpoint_meta(path: str) -> Dict[str, Any]:
+    """Read only the JSON meta blob (model name, config, epoch, …)
+    without materializing any array member — npz members decompress
+    lazily, so this stays cheap on multi-GB checkpoints. Returns {} for
+    archives without metadata; raises on unreadable/non-npz files (the
+    caller decides whether torch checkpoints are acceptable there)."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "checkpoint.npz")
+    with np.load(path, allow_pickle=False) as data:
+        if "__meta__" not in data:
+            return {}
+        meta = json.loads(bytes(data["__meta__"]).decode())
+    meta.pop("__extended_dtypes__", None)
+    return meta
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     """Accepts a file or a directory (looks for checkpoint.npz)."""
     if os.path.isdir(path):

@@ -56,6 +56,30 @@ def test_resume_continues(tmp_path):
     assert rows[-1]["epoch"] == 1  # resumed at epoch 1
 
 
+def test_resume_restores_model_from_checkpoint(tmp_path):
+    """--resume/--evaluate without --model: the checkpoint's recorded
+    model name + config rebuild the trained architecture (framework
+    checkpoints are self-describing; the reference requires
+    re-specifying the flags)."""
+    _run(tmp_path)  # trains resnet depth 20
+    res = main([
+        "--dataset", "synthetic",
+        "-b", "16", "--epochs", "2", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "t",
+        "--resume", str(tmp_path / "t"),
+    ])
+    rows = json.loads((tmp_path / "t" / "results.json").read_text())
+    assert rows[-1]["epoch"] == 1
+    assert np.isfinite(res["best_prec1"])
+    # evaluate-only, also flag-free
+    res = main([
+        "--dataset", "synthetic", "-b", "16", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "t-eval2",
+        "--evaluate", str(tmp_path / "t" / "model_best.npz"),
+    ])
+    assert np.isfinite(res["loss"])
+
+
 def test_evaluate_checkpoint(tmp_path):
     _run(tmp_path)
     res = main([
