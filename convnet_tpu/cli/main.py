@@ -190,12 +190,14 @@ def main(argv=None):
         except Exception:
             meta = {}  # torch / missing file — surfaced at load time
         if meta.get("model"):
-            if args.model is None and not args.model_config:
+            if args.model is None:
                 args.model = meta["model"]
-                model_config = dict(meta.get("config") or {})
+                merged = dict(meta.get("config") or {})
+                merged.update(model_config)  # explicit entries win
+                model_config = merged
                 log.info("model restored from checkpoint: %s %s",
                          args.model, model_config)
-            elif args.model is not None and args.model != meta["model"]:
+            elif args.model != meta["model"]:
                 log.warning("--model %s != checkpoint's recorded model "
                             "%s — the load will fail unless the "
                             "architectures match", args.model,

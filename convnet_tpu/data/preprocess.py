@@ -149,6 +149,16 @@ def multicrop_host(sample, rng, dup=0, out_size=224, scale_size=None):
                       np.uint8)
 
 
+def default_image_size(dataset: str) -> int:
+    """The eval-geometry default per dataset — ONE definition shared by
+    the training transforms below and the serving path (serve.Predictor
+    input_size inference), so the two cannot drift."""
+    name = str(dataset).lower()
+    if name in ("cifar10", "cifar100", "svhn", "stl10", "mnist"):
+        return {"stl10": 96, "mnist": 28}.get(name, 32)
+    return 224
+
+
 def get_transform(transform_name: str = "imagenet",
                   input_size: Optional[int] = None,
                   scale_size: Optional[int] = None,
@@ -184,8 +194,7 @@ def get_transform(transform_name: str = "imagenet",
             multicrop = True
 
     if name in ("cifar10", "cifar100", "svhn", "stl10", "mnist"):
-        default_size = {"stl10": 96, "mnist": 28}.get(name, 32)
-        size = input_size or default_size
+        size = input_size or default_image_size(name)
         pad = max(size // 8, 4)
 
         def device_fn(key, batch):
@@ -217,7 +226,7 @@ def get_transform(transform_name: str = "imagenet",
         return Transform(host, device_fn, size, duplicates)
 
     # imagenet-style
-    size = input_size or 224
+    size = input_size or default_image_size(name)
     native_spec = None
     if augment:
         policy = None

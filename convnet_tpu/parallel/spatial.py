@@ -125,10 +125,9 @@ def avg_pool2d_spatial(x, kernel, stride=None, padding=0,
     """Average pooling with halo rows. Zero-fill halos at true edges
     reproduce count_include_pad=True semantics directly; for
     count_include_pad=False (Cadene/timm Inception-v4/-ResNet-v2
-    branch pools) a ones-mask is pooled through the SAME halo
-    machinery — true-edge halos and W padding arrive as zeros
-    (out-of-bounds taps), interior halos as ones from the neighbor
-    shard — giving the exact in-bounds tap count per window."""
+    branch pools) the exact in-bounds tap count per window is computed
+    arithmetically from the shard's global row offset (no neighbor
+    exchange — see inline note) and divided out."""
     from convnet_tpu import ops
     stride = stride if stride is not None else kernel
     kh, _kw = _pair(kernel)
@@ -146,13 +145,22 @@ def avg_pool2d_spatial(x, kernel, stride=None, padding=0,
     y = ops.avg_pool2d(xh, kernel, stride, 0)
     if count_include_pad:
         return y
-    ones = jnp.ones((1,) + x.shape[1:3] + (1,), jnp.float32)
-    oh = halo_pad_rows(ones, axis_name, up, down, fill=0.0)
-    if pw:
-        oh = jnp.pad(oh, ((0, 0), (0, 0), (pw, pw), (0, 0)))
-    # include-pad pool of the mask = tap_count/(kh*kw); the ratio
-    # y/cnt is exactly window_sum/tap_count. cnt is data-independent.
-    cnt = jax.lax.stop_gradient(ops.avg_pool2d(oh, kernel, stride, 0))
+    # In-bounds tap counts are pure arithmetic on the shard's global
+    # row offset — no neighbor exchange (an earlier version ppermuted a
+    # ones-mask through halo_pad_rows; the mask is data-independent, so
+    # that spent ICI latency per pool per step for nothing): haloed row
+    # r sits at global row i·HL − up + r and is in-bounds iff
+    # 0 ≤ g < n·HL; W taps are in-bounds except the explicit zero pad.
+    # Include-pad pool of the mask = tap_count/(kh·kw), so y/cnt is
+    # exactly window_sum/tap_count.
+    n = lax.axis_size(axis_name)
+    i = lax.axis_index(axis_name)
+    hl = x.shape[1]
+    g = i * hl - up + jnp.arange(hl + up + down)
+    rows = ((g >= 0) & (g < n * hl)).astype(jnp.float32)
+    cols = jnp.pad(jnp.ones((x.shape[2],), jnp.float32), (pw, pw))
+    mask = (rows[:, None] * cols[None, :])[None, :, :, None]
+    cnt = jax.lax.stop_gradient(ops.avg_pool2d(mask, kernel, stride, 0))
     return (y.astype(jnp.float32) / jnp.maximum(cnt, 1e-12)).astype(x.dtype)
 
 

@@ -139,9 +139,15 @@ class Predictor:
             if devices == "all":
                 pass
             elif isinstance(devices, int):
+                if not 0 < devices <= len(devs):
+                    raise ValueError(
+                        f"devices={devices}: this host has "
+                        f"{len(devs)} local devices")
                 devs = devs[:devices]
             else:
                 devs = list(devices)
+                if not devs:
+                    raise ValueError("devices: empty device list")
             if batch_size % len(devs):
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by "
@@ -159,17 +165,20 @@ class Predictor:
             self.params = jax.device_put(params)
             self.state = jax.device_put(state)
 
-        from convnet_tpu.data.preprocess import DATASET_STATS
-        dataset = ((ckpt or {}).get("config") or {}).get("dataset") or \
-            (model_config or {}).get("dataset") or \
+        from convnet_tpu.data.preprocess import (DATASET_STATS,
+                                                 default_image_size)
+        # explicit model_config wins over the checkpoint's recorded
+        # config (when model_name was None the two are already merged
+        # with the same precedence)
+        dataset = (model_config or {}).get("dataset") or \
+            ((ckpt or {}).get("config") or {}).get("dataset") or \
             (model_name if model_name.lower() in DATASET_STATS
              else "imagenet")
         dataset = str(dataset).lower()
         if input_size is None:
             # match the training pipeline's eval geometry for the
-            # checkpoint's dataset (data/preprocess.py transforms)
-            input_size = {"cifar10": 32, "cifar100": 32,
-                          "mnist": 28, "stl10": 96}.get(dataset, 224)
+            # checkpoint's dataset (shared definition — preprocess.py)
+            input_size = default_image_size(dataset)
         self.input_size = input_size
         if normalize == "auto":
             normalize = DATASET_STATS.get(dataset,

@@ -78,6 +78,15 @@ def test_resume_restores_model_from_checkpoint(tmp_path):
         "--evaluate", str(tmp_path / "t" / "model_best.npz"),
     ])
     assert np.isfinite(res["loss"])
+    # --model-config without --model still restores the model, with the
+    # explicit entries merged over the recorded config
+    res = main([
+        "--dataset", "synthetic", "-b", "16", "--print-freq", "0",
+        "--model-config", "{'depth': 20}",
+        "--results-dir", str(tmp_path), "--save", "t-eval3",
+        "--evaluate", str(tmp_path / "t" / "model_best.npz"),
+    ])
+    assert np.isfinite(res["loss"])
 
 
 def test_evaluate_checkpoint(tmp_path):

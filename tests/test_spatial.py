@@ -192,18 +192,22 @@ def test_spatial_avgpool_matches_unsharded():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_spatial_avgpool_count_exclude_pad_matches_unsharded():
+@pytest.mark.parametrize("kernel,stride,pad", [(3, 1, 1), (3, 2, 1)])
+def test_spatial_avgpool_count_exclude_pad_matches_unsharded(
+        kernel, stride, pad):
     """count_include_pad=False (the Cadene Inception-v4/-ResNet-v2
     branch-pool semantics): true-edge windows divide by in-bounds tap
-    count; shard-boundary windows must NOT be treated as edges."""
+    count; shard-boundary windows must NOT be treated as edges. The
+    strided case exercises asymmetric up/down halos against the
+    arithmetic tap-count mask (parallel/spatial.py)."""
     mesh = _spatial_mesh(4)
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((2, 32, 16, 8)).astype(np.float32))
     from convnet_tpu import ops
-    ref = ops.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+    ref = ops.avg_pool2d(x, kernel, stride, pad, count_include_pad=False)
 
     def f(x):
-        return sp.avg_pool2d_spatial(x, 3, 1, 1,
+        return sp.avg_pool2d_spatial(x, kernel, stride, pad,
                                      count_include_pad=False)
 
     out = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, "spatial"),
@@ -214,7 +218,8 @@ def test_spatial_avgpool_count_exclude_pad_matches_unsharded():
 
     # gradients route halo cotangents back across shards correctly
     g_ref = jax.grad(lambda v: jnp.sum(
-        ops.avg_pool2d(v, 3, 1, 1, count_include_pad=False) ** 2))(x)
+        ops.avg_pool2d(v, kernel, stride, pad,
+                       count_include_pad=False) ** 2))(x)
     g_sp = jax.jit(shard_map(
         jax.grad(lambda v: jnp.sum(f(v) ** 2)), mesh=mesh,
         in_specs=P(None, "spatial"), out_specs=P(None, "spatial"),
