@@ -65,10 +65,37 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(e->jb, 1);
 }
 
-// Decode a JPEG byte blob to RGB8. Returns true on success; the pixel
-// buffer (h*w*3) is appended to `out`.
+// Parse only the JPEG header: full image dimensions without decoding
+// any pixels (~µs; used to choose crop boxes and the DCT scale before
+// the expensive decode). Applies the same decompression-bomb guard as
+// decode_rgb.
+bool peek_dims(const uint8_t* data, size_t len, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  *w = cinfo.image_width;
+  *h = cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  return *w > 0 && *h > 0
+         && (uint64_t)(*w) * (*h) <= 178956970ull;
+}
+
+// Decode a JPEG byte blob to RGB8 at scale_num/8 of full resolution
+// (scale_num=8 → full). Fractional-M/8 scaling rides libjpeg(-turbo)'s
+// reduced-size IDCT — the decoder computes only the needed DCT
+// coefficients per block, so IDCT + color-conversion + memory cost
+// drops ~(M/8)²; entropy decoding is unchanged. Returns true on
+// success; *w/*h receive the OUTPUT (scaled) dims.
 bool decode_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
-                int* w, int* h) {
+                int* w, int* h, int scale_num = 8) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -89,6 +116,8 @@ bool decode_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = scale_num;
+  cinfo.scale_denom = 8;
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
@@ -200,14 +229,50 @@ void resize_box(const uint8_t* src, int w, int h, double x0, double y0,
 
 namespace {
 
+// RandomResizedCrop box in FULL-RESOLUTION source coordinates, chosen
+// from the header dims alone — the RNG consumption is exactly the
+// pre-round-4 inline sequence (two uniforms per attempt, two randints
+// on success; randint(0) consumes nothing), so crops are bit-stable
+// across the fast-DCT refactor.
+struct Box {
+  double x0, y0, x1, y1;
+};
+
+Box choose_rrc_box(uint64_t key, int w, int h, int out_size,
+                   double scale_lo, double scale_hi, double ratio_lo,
+                   double ratio_hi) {
+  Rng rng(key);
+  double area = (double)w * h;
+  for (int attempt = 0; attempt < 10; ++attempt) {
+    double target = (scale_lo + rng.uniform() * (scale_hi - scale_lo))
+                    * area;
+    double aspect = std::exp(std::log(ratio_lo) + rng.uniform()
+                             * (std::log(ratio_hi) - std::log(ratio_lo)));
+    int bw = (int)std::lround(std::sqrt(target * aspect));
+    int bh = (int)std::lround(std::sqrt(target / aspect));
+    if (bw <= w && bh <= h && bw > 0 && bh > 0) {
+      int x0 = (int)rng.randint(w - bw);
+      int y0 = (int)rng.randint(h - bh);
+      return {(double)x0, (double)y0, (double)(x0 + bw),
+              (double)(y0 + bh)};
+    }
+  }
+  // fallback: shorter-side scale + center crop, as a source-coord box
+  int ss = out_size * 256 / 224;
+  double sc = (double)ss / std::min(w, h);
+  double nw = w * sc, nh = h * sc;
+  double cx0 = (nw - out_size) / 2 / sc, cy0 = (nh - out_size) / 2 / sc;
+  return {cx0, cy0, cx0 + out_size / sc, cy0 + out_size / sc};
+}
+
 // Shared per-batch driver: `fetch(i, blob)` fills the raw JPEG bytes
 // for sample i (pread from a tar, or a pointer into a memory buffer).
 template <typename Fetch>
 int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
                           int scale_size, uint64_t seed, double scale_lo,
                           double scale_hi, double ratio_lo, double ratio_hi,
-                          int dup, uint8_t* out, uint8_t* fail_mask,
-                          int nthreads) {
+                          int dup, int fast_dct, uint8_t* out,
+                          uint8_t* fail_mask, int nthreads) {
   if (nthreads < 1) nthreads = 1;
   if (dup < 1) dup = 1;
   std::atomic<int64_t> next_idx{0}, ok_count{0};
@@ -221,8 +286,67 @@ int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
       fail_mask[i] = 1;
       int w = 0, h = 0;
       try {
-      if (!fetch(i, &blob)
-          || !decode_rgb(blob.data(), blob.size(), &pix, &w, &h)) {
+      if (!fetch(i, &blob)) {
+        std::memset(out + (size_t)i * dup * plane, 0, dup * plane);
+        continue;
+      }
+      if (mode == 0) {
+        // Train RandomResizedCrop. Boxes depend only on the header
+        // dims, so they are chosen BEFORE the pixel decode; with
+        // fast_dct the decode then runs at the smallest M/8 DCT scale
+        // that keeps every chosen crop ≥ out_size in both axes (the
+        // resample stays a downscale), cutting IDCT/color/memory cost
+        // ~(M/8)² on large sources. Box selection and therefore the
+        // augmentation stream are identical either way.
+        int fw = 0, fh = 0;
+        if (!peek_dims(blob.data(), blob.size(), &fw, &fh)) {
+          std::memset(out + (size_t)i * dup * plane, 0, dup * plane);
+          continue;
+        }
+        std::vector<Box> boxes((size_t)dup);
+        int scale_num = fast_dct ? 1 : 8;
+        for (int d = 0; d < dup; ++d) {
+          boxes[d] = choose_rrc_box(
+              (seed * 0x9e3779b97f4a7c15ull + (uint64_t)i)
+                  * 0xd1342543de82ef95ull + (uint64_t)d,
+              fw, fh, out_size, scale_lo, scale_hi, ratio_lo, ratio_hi);
+          if (fast_dct) {
+            double mind = std::min(boxes[d].x1 - boxes[d].x0,
+                                   boxes[d].y1 - boxes[d].y0);
+            int need = (int)std::ceil(8.0 * out_size
+                                      / std::max(mind, 1.0));
+            scale_num = std::max(scale_num,
+                                 std::min(8, std::max(1, need)));
+          }
+        }
+        if (!fast_dct) scale_num = 8;
+        bool ok = decode_rgb(blob.data(), blob.size(), &pix, &w, &h,
+                             scale_num);
+        if (!ok && scale_num != 8) {
+          // scaled decode rejected by this libjpeg → full-res retry
+          ok = decode_rgb(blob.data(), blob.size(), &pix, &w, &h, 8);
+          scale_num = 8;
+        }
+        if (!ok) {
+          std::memset(out + (size_t)i * dup * plane, 0, dup * plane);
+          continue;
+        }
+        // geometric map full-res → decoded coords is exactly M/8; if
+        // the library applied a different ratio (non-turbo libjpeg
+        // rounds to 1/2/4/8), recover it from the actual output dims
+        if (w != (fw * scale_num + 7) / 8)
+          scale_num = (int)std::lround(8.0 * w / fw);
+        double f = scale_num / 8.0;
+        for (int d = 0; d < dup; ++d) {
+          uint8_t* dst = out + ((size_t)i * dup + d) * plane;
+          resize_box(pix.data(), w, h, boxes[d].x0 * f, boxes[d].y0 * f,
+                     boxes[d].x1 * f, boxes[d].y1 * f, out_size, dst);
+        }
+        fail_mask[i] = 0;
+        ok_count.fetch_add(1);
+        continue;
+      }
+      if (!decode_rgb(blob.data(), blob.size(), &pix, &w, &h)) {
         // honor the documented contract: failed planes are ZEROED
         // (the caller-visible buffer is allocated uninitialized)
         std::memset(out + (size_t)i * dup * plane, 0, dup * plane);
@@ -233,35 +357,7 @@ int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
       // DECODE — the expensive decode is amortized across the copies.
       for (int d = 0; d < dup; ++d) {
       uint8_t* dst = out + ((size_t)i * dup + d) * plane;
-      if (mode == 0) {
-        Rng rng((seed * 0x9e3779b97f4a7c15ull + (uint64_t)i)
-                * 0xd1342543de82ef95ull + (uint64_t)d);
-        double area = (double)w * h;
-        bool done = false;
-        for (int attempt = 0; attempt < 10 && !done; ++attempt) {
-          double target = (scale_lo + rng.uniform() * (scale_hi - scale_lo))
-                          * area;
-          double aspect = std::exp(std::log(ratio_lo) + rng.uniform()
-                                   * (std::log(ratio_hi) - std::log(ratio_lo)));
-          int bw = (int)std::lround(std::sqrt(target * aspect));
-          int bh = (int)std::lround(std::sqrt(target / aspect));
-          if (bw <= w && bh <= h && bw > 0 && bh > 0) {
-            int x0 = (int)rng.randint(w - bw);
-            int y0 = (int)rng.randint(h - bh);
-            resize_box(pix.data(), w, h, x0, y0, x0 + bw, y0 + bh,
-                       out_size, dst);
-            done = true;
-          }
-        }
-        if (!done) {  // fallback: shorter-side scale + center crop
-          int ss = out_size * 256 / 224;
-          double sc = (double)ss / std::min(w, h);
-          double nw = w * sc, nh = h * sc;
-          double cx0 = (nw - out_size) / 2 / sc, cy0 = (nh - out_size) / 2 / sc;
-          resize_box(pix.data(), w, h, cx0, cy0, cx0 + out_size / sc,
-                     cy0 + out_size / sc, out_size, dst);
-        }
-      } else {
+      {
         // Mirror preprocess.scale_center EXACTLY (PIL semantics):
         // integer resized dims via truncation, integer center-crop
         // origin, then express the crop as a box resize in source
@@ -314,6 +410,10 @@ extern "C" {
 //           device transform flips).
 //   mode 1: resize shorter side to scale_size, center-crop out_size —
 //           eval path (PIL-geometry exact).
+// fast_dct != 0 (mode 0 only): decode at reduced M/8 DCT scale chosen
+// so every crop still covers out_size — same crop boxes, ~same output
+// distribution, large sources decode 2-4× faster. mode 1 ignores it
+// (the eval path keeps its 1-LSB PIL parity).
 // out: n * out_size * out_size * 3 uint8, HWC.
 // Returns number of successfully decoded samples; failed decodes
 // leave zeros and set fail_mask[i]=1 (caller falls back to PIL).
@@ -322,7 +422,7 @@ int64_t ctpu_decode_batch(const char* tar_path, const int64_t* offsets,
                           int out_size, int scale_size, uint64_t seed,
                           double scale_lo, double scale_hi,
                           double ratio_lo, double ratio_hi, int dup,
-                          uint8_t* out, uint8_t* fail_mask,
+                          int fast_dct, uint8_t* out, uint8_t* fail_mask,
                           int nthreads) {
   int fd = open(tar_path, O_RDONLY);
   if (fd < 0) return -1;
@@ -333,7 +433,8 @@ int64_t ctpu_decode_batch(const char* tar_path, const int64_t* offsets,
   };
   int64_t ok = decode_batch_impl(fetch, n, mode, out_size, scale_size,
                                  seed, scale_lo, scale_hi, ratio_lo,
-                                 ratio_hi, dup, out, fail_mask, nthreads);
+                                 ratio_hi, dup, fast_dct, out, fail_mask,
+                                 nthreads);
   close(fd);
   return ok;
 }
@@ -345,7 +446,7 @@ int64_t ctpu_decode_batch_mem(const uint8_t* base, const int64_t* offsets,
                               int out_size, int scale_size, uint64_t seed,
                               double scale_lo, double scale_hi,
                               double ratio_lo, double ratio_hi, int dup,
-                              uint8_t* out, uint8_t* fail_mask,
+                              int fast_dct, uint8_t* out, uint8_t* fail_mask,
                               int nthreads) {
   auto fetch = [&](int64_t i, std::vector<uint8_t>* blob) {
     blob->assign(base + offsets[i], base + offsets[i] + sizes[i]);
@@ -353,7 +454,7 @@ int64_t ctpu_decode_batch_mem(const uint8_t* base, const int64_t* offsets,
   };
   return decode_batch_impl(fetch, n, mode, out_size, scale_size, seed,
                            scale_lo, scale_hi, ratio_lo, ratio_hi, dup,
-                           out, fail_mask, nthreads);
+                           fast_dct, out, fail_mask, nthreads);
 }
 
 }  // extern "C"
