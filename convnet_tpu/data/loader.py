@@ -206,6 +206,13 @@ class DataLoader:
                 scale=spec.get("scale", (0.08, 1.0)),
                 ratio=spec.get("ratio", (3 / 4, 4 / 3)),
                 duplicates=dup,
+                # CONVNET_TPU_FAST_DCT=1: train-path decode at reduced
+                # libjpeg DCT scale (1.3-1.5× on large sources, same
+                # crop boxes, slightly different resampling taps). Off
+                # by default — opt-in because outputs are not bit-equal
+                # to the PIL geometry; the C side ignores it for eval.
+                fast_dct=_os.environ.get(
+                    "CONVNET_TPU_FAST_DCT", "0") != "0",
                 threads=max(1, self.num_workers))
 
         def _pil_rng(i, d):

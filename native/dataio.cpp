@@ -153,4 +153,7 @@ int ctpu_batch_read(const char* path, const int64_t* offsets,
   return err.load() ? -2 : 0;
 }
 
+// ABI handshake — see ctpu_jpegdec_abi_version in jpegdec.cpp.
+int64_t ctpu_dataio_abi_version(void) { return 1; }
+
 }  // extern "C"

@@ -404,6 +404,15 @@ int64_t decode_batch_impl(Fetch fetch, int64_t n, int mode, int out_size,
 
 extern "C" {
 
+// ABI handshake for the ctypes wrapper (convnet_tpu/data/native.py).
+// Bump whenever an exported signature changes; the wrapper refuses to
+// call a library whose version differs (a round-4 regression shipped a
+// .so whose arg list had drifted from the Python signature — the
+// mismatch read the output pointer as an int and scribbled the heap).
+// Version 2 = 16-arg decode entry points (… int dup, int fast_dct,
+// uint8_t* out, uint8_t* fail_mask, int nthreads).
+int64_t ctpu_jpegdec_abi_version(void) { return 2; }
+
 // Decode + transform a batch of JPEG blobs from `tar_path`.
 //   mode 0: RandomResizedCrop(out_size, scale=[scale_lo,scale_hi],
 //           ratio=[ratio_lo,ratio_hi]) — train path (no flip: the
@@ -412,7 +421,9 @@ extern "C" {
 //           eval path (PIL-geometry exact).
 // fast_dct != 0 (mode 0 only): decode at reduced M/8 DCT scale chosen
 // so every crop still covers out_size — same crop boxes, ~same output
-// distribution, large sources decode 2-4× faster. mode 1 ignores it
+// distribution, large sources decode 1.3-1.5× faster (measured on
+// ~1200² sources; Huffman decode, which DCT scaling cannot skip,
+// bounds the win). mode 1 ignores it
 // (the eval path keeps its 1-LSB PIL parity).
 // out: n * out_size * out_size * 3 uint8, HWC.
 // Returns number of successfully decoded samples; failed decodes
