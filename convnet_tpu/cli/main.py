@@ -57,14 +57,19 @@ def build_parser():
     p.add_argument("--epochs", type=int, default=90)
     p.add_argument("--start-epoch", type=int, default=0)
     p.add_argument("--optimizer", default=None,
-                   help="override the model regime's optimizer")
+                   help="override the model regime's optimizer in EVERY "
+                        "phase (the embedded schedule never reverts it)")
     p.add_argument("--lr", type=float, default=None,
-                   help="override the model regime's base lr")
+                   help="rescale the model regime's WHOLE lr schedule "
+                        "multiplicatively so the base (epoch-0) lr "
+                        "becomes this value — decay structure (step "
+                        "drops, warmup, cosine) is preserved")
     p.add_argument("--momentum", type=float, default=None,
-                   help="override the model regime's momentum")
+                   help="override the model regime's momentum in EVERY "
+                        "phase")
     p.add_argument("--weight-decay", type=float, default=None,
                    help="override the model regime's (decoupled) weight "
-                        "decay value")
+                        "decay value in EVERY phase")
     p.add_argument("--label-smoothing", type=float, default=0.0)
     p.add_argument("--mixup", type=float, default=0.0, help="mixup alpha")
     p.add_argument("--cutmix", type=float, default=0.0, help="cutmix alpha")
@@ -145,6 +150,8 @@ def main(argv=None):
     from convnet_tpu.data.data_regime import DataRegime
     from convnet_tpu.parallel.mesh import make_mesh
     from convnet_tpu.regimes.optim import OptimRegime
+    from convnet_tpu.regimes.regime import (rescale_regime_lr,
+                                            replace_regime_key)
     from convnet_tpu.train.trainer import Trainer, TrainerConfig
     from convnet_tpu.utils.checkpoint import (
         save_checkpoint, load_checkpoint, peek_checkpoint_meta,
@@ -197,7 +204,15 @@ def main(argv=None):
                 model_config = merged
                 log.info("model restored from checkpoint: %s %s",
                          args.model, model_config)
-            elif args.model != meta["model"]:
+            elif args.model == meta["model"]:
+                # same model named explicitly: a run trained with a
+                # custom config (width/depth overrides) must restore —
+                # merge the recorded config underneath any explicit
+                # entries, same precedence as the model-omitted path
+                merged = dict(meta.get("config") or {})
+                merged.update(model_config)
+                model_config = merged
+            else:
                 log.warning("--model %s != checkpoint's recorded model "
                             "%s — the load will fail unless the "
                             "architectures match", args.model,
@@ -213,18 +228,18 @@ def main(argv=None):
 
     regime = list(getattr(model, "regime", [{"epoch": 0, "optimizer": "SGD",
                                              "lr": 0.1, "momentum": 0.9}]))
-    override = {}
-    if args.optimizer:
-        override["optimizer"] = args.optimizer
     if args.lr is not None:
-        override["lr"] = args.lr
+        regime = rescale_regime_lr(regime, args.lr)
+    flat = {}
+    if args.optimizer:
+        flat["optimizer"] = args.optimizer
     if args.momentum is not None:
-        override["momentum"] = args.momentum
+        flat["momentum"] = args.momentum
     if args.weight_decay is not None:
-        override["regularizer"] = {"name": "WeightDecay",
-                                   "value": args.weight_decay}
-    if override:
-        regime = [{**regime[0], **override}] + regime[1:]
+        flat["regularizer"] = {"name": "WeightDecay",
+                               "value": args.weight_decay}
+    for key, value in flat.items():
+        regime = replace_regime_key(regime, key, value)
     optim = OptimRegime(regime)
 
     num_classes = {"cifar10": 10, "cifar100": 100, "mnist": 10,
@@ -381,6 +396,7 @@ def main(argv=None):
                 save_checkpoint(
                     {"epoch": _epoch, "batch_idx": batch_idx,
                      "model": args.model, "config": model_config,
+                     "input_size": args.input_size,
                      "params": p, "state": s, "opt_state": o,
                      "best_prec1": best_prec1,
                      "training_steps": trainer.training_steps,
@@ -407,6 +423,9 @@ def main(argv=None):
         if jax.process_index() == 0:
             save_checkpoint(
                 {"epoch": epoch, "model": args.model, "config": model_config,
+                 # the run's explicit eval geometry (None = dataset
+                 # default) — serving restores it (serve.py Predictor)
+                 "input_size": args.input_size,
                  "params": params, "state": state, "opt_state": opt_state,
                  "best_prec1": best_prec1,
                  "training_steps": trainer.training_steps,

@@ -93,3 +93,52 @@ class Regime:
 
     def __repr__(self):
         return f"Regime(phases={len(self.regime)}, setting={self.setting})"
+
+
+def rescale_regime_lr(regime: List[Dict[str, Any]],
+                      target_base_lr: float) -> List[Dict[str, Any]]:
+    """Multiplicatively rescale EVERY lr in a regime so the base
+    (first-phase, epoch-0/step-0) lr becomes ``target_base_lr``.
+
+    This is the CLI ``--lr`` semantics: the embedded schedule's decay
+    structure (step drops, warmup ramps, cosine lambdas) is preserved
+    and the whole curve is scaled — a ``--lr 0.05`` does NOT silently
+    revert to the model's schedule at the first phase boundary.
+    Callable lr entries (``f(epoch, step)``) are wrapped; the base is
+    the first phase's lr evaluated at (0, 0).
+    """
+    base = None
+    for entry in regime:
+        if "lr" in entry:
+            base = entry["lr"]
+            break
+    if base is None:  # no lr anywhere → inject flat
+        return [{**regime[0], "lr": target_base_lr}] + list(regime[1:])
+    base_val = float(base(0, 0) if callable(base) else base)
+    if base_val == 0.0:
+        raise ValueError("cannot rescale a regime whose base lr is 0; "
+                         "pass the schedule explicitly instead of --lr")
+    factor = float(target_base_lr) / base_val
+    out = []
+    for entry in regime:
+        if "lr" in entry:
+            v = entry["lr"]
+            scaled = ((lambda e, s, _f=v: _f(e, s) * factor)
+                      if callable(v) else v * factor)
+            entry = {**entry, "lr": scaled}
+        out.append(entry)
+    return out
+
+
+def replace_regime_key(regime: List[Dict[str, Any]], key: str,
+                       value: Any) -> List[Dict[str, Any]]:
+    """Set ``key`` flat across the whole regime: injected into the
+    first phase and stripped from every later one, so the override
+    never reverts at a phase boundary (CLI ``--momentum`` /
+    ``--optimizer`` / ``--weight-decay`` semantics)."""
+    if not regime:
+        return [{"epoch": 0, key: value}]
+    out = [{**regime[0], key: value}]
+    for entry in regime[1:]:
+        out.append({k: v for k, v in entry.items() if k != key})
+    return out

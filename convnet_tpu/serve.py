@@ -176,10 +176,16 @@ class Predictor:
              else "imagenet")
         dataset = str(dataset).lower()
         if input_size is None:
-            # match the training pipeline's eval geometry for the
-            # checkpoint's dataset (shared definition — preprocess.py)
-            input_size = default_image_size(dataset)
-        self.input_size = input_size
+            # match the run's actual eval geometry: the checkpoint
+            # records the run's explicit --input-size (cli/main.py save
+            # dicts); else the model's own native size (inception
+            # family: 299); else the dataset default (preprocess.py) —
+            # a checkpoint trained at a non-default size must not
+            # silently serve at 224
+            input_size = ((ckpt or {}).get("input_size")
+                          or getattr(self.model, "input_size", None)
+                          or default_image_size(dataset))
+        self.input_size = int(input_size)
         if normalize == "auto":
             normalize = DATASET_STATS.get(dataset,
                                           DATASET_STATS["imagenet"])

@@ -243,7 +243,21 @@ def _main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--input-size", type=int, default=None,
                    help="default: inferred from the checkpoint's dataset")
-    p.add_argument("--devices", default=None,
+    def _devices_arg(v):
+        if v == "all":
+            return v
+        try:
+            n = int(v)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"--devices accepts 'all' or a positive device count, "
+                f"got {v!r}")
+        if n <= 0:
+            raise argparse.ArgumentTypeError(
+                f"--devices count must be positive, got {n}")
+        return n
+
+    p.add_argument("--devices", default=None, type=_devices_arg,
                    help="data-parallel serving: 'all' or a device count"
                         " (batch shards over a 1-D local mesh)")
     p.add_argument("--host", default="127.0.0.1")
@@ -261,9 +275,7 @@ def _main(argv=None):
             ast.literal_eval(args.model_config) if args.model_config else {},
             checkpoint=args.checkpoint or None, dtype=args.dtype,
             batch_size=args.batch_size, input_size=args.input_size,
-            devices=(None if args.devices is None else
-                     args.devices if args.devices == "all"
-                     else int(args.devices)))
+            devices=args.devices)  # parser validated: None|'all'|int>0
     PredictionServer(predictor, args.host, args.port).serve_forever()
 
 

@@ -282,3 +282,18 @@ def test_compile_cache_flag(tmp_path):
         # the test — don't leave later in-process compiles pointing at
         # a dead directory
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_resume_with_matching_model_merges_recorded_config(tmp_path):
+    """--model naming the checkpoint's recorded model (without
+    --model-config) must still restore the run's custom config — a
+    depth-32 run resumed with plain '--model resnet' would otherwise
+    rebuild the factory-default depth and fail at parameter restore."""
+    _run(tmp_path, "--model-config", "{'depth': 32}")
+    res = main([
+        "--dataset", "synthetic", "--model", "resnet",
+        "-b", "16", "--epochs", "1", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "t-eval-match",
+        "--evaluate", str(tmp_path / "t" / "model_best.npz"),
+    ])
+    assert np.isfinite(res["loss"])

@@ -77,3 +77,59 @@ def test_step_decay_and_cosine():
     assert cos(0, 0) == pytest.approx(0.1)
     assert cos(0, 10) == pytest.approx(1.0)
     assert cos(0, 100) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_rescale_regime_lr_preserves_schedule_shape():
+    """CLI --lr semantics (reference main.py:~30-140 flag surface): the
+    override rescales the WHOLE embedded schedule — it must not revert
+    to the model's values at the first phase boundary."""
+    from convnet_tpu.regimes.regime import rescale_regime_lr
+    from convnet_tpu import models
+
+    regime = models.build("resnet", dataset="cifar10", depth=20).regime
+    scaled = rescale_regime_lr(regime, 0.05)  # embedded base is 0.1
+    o = OptimRegime(scaled)
+    o.update(0, 0)
+    assert o.hyperparams()["lr"] == pytest.approx(0.05)
+    o.update(81, 10_000)  # past the first boundary (epoch 81: lr 1e-2)
+    assert o.hyperparams()["lr"] == pytest.approx(0.005)
+    o.update(122, 20_000)
+    assert o.hyperparams()["lr"] == pytest.approx(0.0005)
+
+
+def test_rescale_regime_lr_wraps_callables():
+    from convnet_tpu.regimes.regime import rescale_regime_lr
+
+    regime = [{"epoch": 0, "optimizer": "SGD",
+               "lr": schedules.step_decay_lr(0.2, 0.1, 10)}]
+    scaled = rescale_regime_lr(regime, 0.1)  # factor 0.5
+    lr = scaled[0]["lr"]
+    assert lr(0, 0) == pytest.approx(0.1)
+    assert lr(10, 0) == pytest.approx(0.01)
+
+
+def test_rescale_regime_lr_edge_cases():
+    from convnet_tpu.regimes.regime import rescale_regime_lr
+
+    out = rescale_regime_lr([{"epoch": 0, "optimizer": "SGD"}], 0.3)
+    assert out[0]["lr"] == pytest.approx(0.3)
+    with pytest.raises(ValueError):
+        rescale_regime_lr([{"epoch": 0, "lr": 0.0}], 0.3)
+
+
+def test_replace_regime_key_never_reverts():
+    """--momentum/--optimizer/--weight-decay are flat replacements:
+    injected in phase 0, stripped from every later phase."""
+    from convnet_tpu.regimes.regime import replace_regime_key
+
+    regime = [
+        {"epoch": 0, "optimizer": "SGD", "lr": 0.1, "momentum": 0.9},
+        {"epoch": 30, "lr": 0.01, "momentum": 0.0},
+    ]
+    out = replace_regime_key(regime, "momentum", 0.5)
+    o = OptimRegime(out)
+    o.update(0, 0)
+    assert o.hyperparams()["momentum"] == pytest.approx(0.5)
+    o.update(30, 1000)
+    assert o.hyperparams()["momentum"] == pytest.approx(0.5)
+    assert o.hyperparams()["lr"] == pytest.approx(0.01)  # lr untouched

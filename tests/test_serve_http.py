@@ -131,3 +131,16 @@ def test_server_over_exported_artifact(tmp_path):
         assert out["topk"][0][0] == ref
     finally:
         s.stop()
+
+
+def test_devices_flag_validated_in_parser(capsys):
+    """--devices accepts 'all' or a positive int; anything else must
+    die with a clear argparse error, not an int() traceback."""
+    import pytest
+    from convnet_tpu.serve_http import _main
+    for bad in ("cuda:0", "0", "-2", "1,2"):
+        with pytest.raises(SystemExit) as e:
+            _main(["--model", "resnet", "--devices", bad])
+        assert e.value.code == 2  # argparse usage error
+        err = capsys.readouterr().err
+        assert "--devices" in err
