@@ -8,6 +8,7 @@
 # NOTE: 'epochs' appears twice on purpose — the model-config value sets
 # the LARS polynomial-decay horizon (the regime is model-authored);
 # --epochs sets how long the CLI trains. Change them together.
+# Expected: 75.0-76.4 final top-1; contract in docs/REPRO.md#4.
 python main.py --model resnet --dataset imagenet \
     --model-config "{'depth': 50, 'regime': 'large_lars', 'batch_size': 16384, 'epochs': 90}" \
     -b 16384 --chunk-batch 16 --epochs 90 --dtype bf16 --sync-bn \
