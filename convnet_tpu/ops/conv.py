@@ -34,6 +34,20 @@ DIMSPEC = ("NHWC", "HWIO", "NHWC")
 # for backends without that canonicalization.
 _DOT_1X1 = os.environ.get("CONVNET_TPU_1X1_DOT", "0") == "1"
 
+# Grouped-conv lowering selection (ResNeXt; VERDICT r4 #2). XLA lowers
+# feature_group_count=32 with the group dim as a stride-31 spatial dim
+# and runs at ~25% of its own bytes floor (job 103). The "tiled dense"
+# reformulation splits C into T=C/128 tiles and runs T independent
+# dense 128->128 convs with block-diagonal-masked weights: every matmul
+# is a dense 128-lane MXU op, at 128/cg x the grouped FLOPs (cg = C/g),
+# still far below full dense (g x). Gradients are exact: the eye-mask
+# in the dense-tile construction kills off-block wgrads (job 105
+# parity, re-verified with dw in job 134).
+#   CONVNET_TPU_GROUPED = auto (default: measured per-shape table) |
+#                         fgc (always feature_group_count) |
+#                         tiled (always tiled-dense)
+_GROUPED_MODE = os.environ.get("CONVNET_TPU_GROUPED", "auto")
+
 # Weight-gradients as explicit dot contractions (opt-in experiment:
 # CONVNET_TPU_DOT_WGRAD=1). Profiling (scripts/tpu_profile_rn50, session
 # 29c) attributes 56.6 of the RN50 step's 104.6 ms to conv wgrads —
@@ -44,6 +58,63 @@ _DOT_1X1 = os.environ.get("CONVNET_TPU_1X1_DOT", "0") == "1"
 # emitter's window loop. Forward and data-grad stay on the native conv
 # path (which profiling shows is efficient: dgrad 5.6 ms total).
 _DOT_WGRAD = os.environ.get("CONVNET_TPU_DOT_WGRAD", "0") == "1"
+
+
+def _grouped_dense_tiles(w: jax.Array, groups: int) -> jax.Array:
+    """Grouped HWIO weight (kh,kw,cg,C) -> (T,kh,kw,128,128) dense
+    tiles, block-diagonal within each tile (off-block entries zero, so
+    the chain rule returns exact grouped wgrads)."""
+    kh, kw, cg, C = w.shape
+    T = C // 128
+    gpt = 128 // cg
+    wr = w.reshape(kh, kw, cg, T, gpt, cg)     # (h,w,ci,t,jo,co)
+    wr = wr.transpose(3, 0, 1, 2, 4, 5)        # (t,h,w,ci,jo,co)
+    eye = jnp.eye(gpt, dtype=w.dtype)          # (ji,jo)
+    wd = (wr[:, :, :, None, :, :, :]
+          * eye[None, None, None, :, None, :, None])
+    return wd.reshape(T, kh, kw, 128, 128)
+
+
+def _conv2d_grouped_tiled(x, w, stride, pad, groups):
+    """Grouped conv as C/128 independent dense 128->128 convs (see
+    _GROUPED_MODE note above)."""
+    wd = _grouped_dense_tiles(w.astype(x.dtype), groups)
+    T = wd.shape[0]
+    ys = [
+        lax.conv_general_dilated(
+            lax.slice_in_dim(x, t * 128, (t + 1) * 128, axis=3), wd[t],
+            window_strides=stride, padding=pad, dimension_numbers=DIMSPEC)
+        for t in range(T)
+    ]
+    return jnp.concatenate(ys, axis=-1) if T > 1 else ys[0]
+
+
+def _tiled_grouped_eligible(x_shape, w_shape, groups, dilation):
+    """Structural eligibility for the tiled-dense lowering: true
+    grouped (not depthwise, not dense), equal in/out channels, whole
+    groups per 128-lane tile."""
+    kh, kw, cg, cout = w_shape
+    cin = x_shape[-1]
+    return (groups > 1 and cg > 1 and cin == cout
+            and cin % 128 == 0 and 128 % cg == 0
+            and _pair(dilation) == (1, 1))
+
+
+def _tiled_grouped_wins(h, c, cg, stride):
+    """Measured dispatch table (v5e, jobs 105/134): shapes where the
+    tiled-dense lowering beats feature_group_count at model-relevant
+    batch. Keyed coarsely — the win comes from the emitter choice, not
+    the exact resolution."""
+    del cg
+    s = _pair(stride)[0]
+    # job 105: full-dense-masked (the T=1 special case) won 1.13x at
+    # H=56 C=128 s=1; job 134 extends the table to all tiled shapes
+    # (every other shape loses). Model-level A/B (job 141): this one
+    # entry takes the ResNeXt-50 training step 182.8 -> 159.6 ms
+    # (1.145x, 1,604 img/s/chip) — the stage-1 grouped conv's fgc
+    # lowering was a far larger share of the full fwd+bwd step than
+    # its isolated fwd time suggested.
+    return (h, c, s) == (56, 128, 1)
 
 
 def _pair(v) -> tuple:
@@ -102,6 +173,12 @@ def conv2d(
                              w.reshape(c, -1).astype(x.dtype))
         return y.reshape(b, h, wd, -1)
     pad = _resolve_padding(padding, (kh, kw), _pair(dilation))
+    if (_GROUPED_MODE != "fgc" and not isinstance(pad, str)
+            and _tiled_grouped_eligible(x.shape, w.shape, groups, dilation)
+            and (_GROUPED_MODE == "tiled"
+                 or _tiled_grouped_wins(x.shape[1], x.shape[3],
+                                        w.shape[2], stride))):
+        return _conv2d_grouped_tiled(x, w, _pair(stride), pad, groups)
     if (_DOT_WGRAD and groups == 1 and _pair(dilation) == (1, 1)
             and not isinstance(pad, str)):
         f = _make_conv_dot_wgrad(x.shape, w.shape, _pair(stride), pad,

@@ -286,3 +286,54 @@ def test_pool_env_flags_take_effect_after_first_build(monkeypatch):
                                np.asarray(g_interleave), rtol=1e-6)
     # the cache must hold two distinct entries for the two flag values
     assert P._make_max_pool.cache_info().currsize >= 2
+
+
+@pytest.mark.parametrize("cin,g,h,stride", [
+    (128, 32, 10, 1),     # T=1 (the job-105 dense-masked case)
+    (256, 32, 10, 1),     # T=2, cg=8
+    (256, 32, 11, 2),     # stride-2 downsample block
+    (512, 32, 8, 1),      # T=4, cg=16
+])
+def test_grouped_tiled_matches_fgc(monkeypatch, cin, g, h, stride):
+    """The tiled-dense grouped lowering (VERDICT r4 #2; jobs 103/105/134)
+    must match feature_group_count exactly — forward, dx, AND dw (the
+    eye-mask chain rule must kill off-block wgrads)."""
+    from convnet_tpu.ops import conv as C
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, h, h, cin)), jnp.float32)
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, cin // g, cin)) * 0.1, jnp.float32)
+
+    def loss(x_, w_):
+        y = ops.conv2d(x_, w_, stride=stride, padding=1, groups=g)
+        return jnp.sum(y ** 2), y
+
+    def run(mode):
+        monkeypatch.setattr(C, "_GROUPED_MODE", mode)
+        (l, y), (dx, dw) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(x, w)
+        return y, dx, dw
+
+    y_f, dx_f, dw_f = run("fgc")
+    y_t, dx_t, dw_t = run("tiled")
+    assert C._tiled_grouped_eligible(x.shape, w.shape, g, 1)
+    np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx_t), np.asarray(dx_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_t), np.asarray(dw_f),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_tiled_ineligible_shapes():
+    """Depthwise, dense, non-128-multiple C, and cin!=cout must stay on
+    the fgc path."""
+    from convnet_tpu.ops import conv as C
+
+    assert not C._tiled_grouped_eligible((2, 8, 8, 16), (3, 3, 1, 16), 16, 1)
+    assert not C._tiled_grouped_eligible((2, 8, 8, 16), (3, 3, 16, 16), 1, 1)
+    assert not C._tiled_grouped_eligible((2, 8, 8, 96), (3, 3, 3, 96), 32, 1)
+    assert not C._tiled_grouped_eligible((2, 8, 8, 128), (3, 3, 4, 256), 32, 1)
+    # dilation blocks the reformulation
+    assert not C._tiled_grouped_eligible((2, 8, 8, 128), (3, 3, 4, 128), 32, 2)
