@@ -71,7 +71,7 @@ from convnet_tpu.regimes import schedules
 from convnet_tpu.train.trainer import Trainer, TrainerConfig
 from convnet_tpu.utils.torch_import import export_into_torch_state_dict
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.nightly]
 
 NOISE = 1.2
 TRAIN_N, VAL_N = 512, 4096
@@ -203,9 +203,13 @@ def _run_protocol(model, regime, tm, make_torch_opt, steps=300, batch=64,
 
 
 def test_resnet20_top1_parity_protocol():
-    """ResNet-20 under the compressed stepped-LR SGD regime, k=3
-    paired seeds: both arms non-saturating every seed, and the mean
-    paired gap within the measured k=3 resolvable bound (6%). See the
+    """ResNet-20 under the compressed stepped-LR SGD regime, k=10
+    paired seeds (VERDICT r4 #6 raised this from k=3): both arms
+    non-saturating every seed, and the mean paired gap within the
+    measured k=10 resolvable bound (3%). The round-5 reference run
+    (scripts/jobs/done/k10_parity.out, CPU backend) measured gaps
+    +1.29 -4.44 +0.02 -2.93 -0.95 -5.05 +3.49 -1.46 -0.56 +0.27 (%):
+    mean -1.03%, SD 2.59%, SE 0.82%, |mean|+2SE = 2.67%. See the
     module docstring for why 0.2% is not assertable here and where
     that evidence lives instead."""
     regime = [
@@ -214,7 +218,7 @@ def test_resnet20_top1_parity_protocol():
         {"step": 260, "lr": 0.001},
     ]
     gaps = []
-    for seed in (0, 1, 2):
+    for seed in range(10):
         model = models.build("resnet", dataset="cifar10", depth=20)
         tm = _TorchResNetCifar(20)
         acc_j, acc_t = _run_protocol(
@@ -225,7 +229,7 @@ def test_resnet20_top1_parity_protocol():
         assert 0.55 < acc_t < 0.97, (seed, acc_t)
         gaps.append(acc_j - acc_t)
     mean_gap = sum(gaps) / len(gaps)
-    assert abs(mean_gap) <= 0.06, (gaps, mean_gap)
+    assert abs(mean_gap) <= 0.03, (gaps, mean_gap)
 
 
 class _TConvBNReLU6(nn.Module):
