@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from convnet_tpu.serve import Predictor
 from convnet_tpu.utils.checkpoint import save_checkpoint
@@ -268,3 +269,37 @@ def test_predictor_prefers_model_native_input_size():
         assert p3.input_size == 299
     finally:
         serve_mod.models.build = orig_build
+
+
+@pytest.mark.slow
+def test_predictor_agrees_with_cli_eval_path(tmp_path):
+    """End-to-end deployment contract (round-5 verify-job 148 follow-up):
+    a checkpoint produced by the SHIPPED CLI trainer, reloaded through
+    the self-describing Predictor and fed raw uint8 val images, must
+    reproduce the eval path's accuracy on the full val split — serving
+    and evaluation are the same function of the checkpoint. (Job 148
+    first asserted an absolute bar at 2 epochs, where BN running stats
+    are immature; the binding property is AGREEMENT, plus a convergence
+    floor at a depth/epoch point known to generalize — mirrors
+    test_cli.py::test_structured_synthetic_generalization.)"""
+    from convnet_tpu.cli.main import main
+    from convnet_tpu.data.datasets import get_dataset
+
+    res = main([
+        "--dataset", "synthetic_structured", "--model", "resnet",
+        "--model-config", "{'depth': 8}",
+        "-b", "64", "--epochs", "5", "--print-freq", "0", "--lr", "0.05",
+        "--results-dir", str(tmp_path), "--save", "st",
+    ])
+    best = res["best_prec1"]
+    assert best > 80.0, res
+
+    p = Predictor.from_checkpoint(str(tmp_path / "st" / "model_best.npz"))
+    ds = get_dataset("synthetic_structured", "val", data_dir=None)
+    xs = np.stack([np.asarray(ds[i][0]) for i in range(len(ds))])
+    ys = np.array([ds[i][1] for i in range(len(ds))])
+    top1 = 100.0 * float((np.asarray(p.predict(xs)) == ys).mean())
+    # bf16 + absorb-bn serving vs the eval pass: a few tenths of a
+    # point of argmax flips are expected; disagreement beyond 2 points
+    # means serving preprocessing/geometry diverged from training
+    assert abs(top1 - best) < 2.0, (top1, best)
