@@ -196,6 +196,13 @@ def main(argv=None):
             meta = peek_checkpoint_meta(args.resume or args.evaluate)
         except Exception:
             meta = {}  # torch / missing file — surfaced at load time
+        if args.input_size is None and meta.get("input_size"):
+            # geometry is part of the checkpoint's identity too: evaluate
+            # at (and resume recording) the size the run was trained at,
+            # matching Predictor.from_checkpoint — not the dataset default
+            args.input_size = int(meta["input_size"])
+            log.info("input size restored from checkpoint: %d",
+                     args.input_size)
         if meta.get("model"):
             if args.model is None:
                 args.model = meta["model"]

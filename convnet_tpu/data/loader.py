@@ -212,7 +212,7 @@ class DataLoader:
                 # by default — opt-in because outputs are not bit-equal
                 # to the PIL geometry; the C side ignores it for eval.
                 fast_dct=_os.environ.get(
-                    "CONVNET_TPU_FAST_DCT", "0") != "0",
+                    "CONVNET_TPU_FAST_DCT", "0") == "1",
                 threads=max(1, self.num_workers))
 
         def _pil_rng(i, d):

@@ -26,6 +26,7 @@ _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libconvnet_dataio.so"))
 _lib = None
 _lib_lock = threading.Lock()
 _build_attempted = False
+_lib_refused = False  # terminal load failure — don't retry per call
 
 # Expected C ABI versions. Each .so exports ctpu_*_abi_version(); a
 # library whose version differs from these constants is never called —
@@ -41,6 +42,23 @@ _JPEGDEC_ABI = 2
 def _run_make():
     subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
                    check=True, capture_output=True, timeout=120)
+
+
+def _dlopen_fresh(path):
+    """dlopen dedups by pathname: re-opening a path that is already
+    mapped in this process returns the STALE handle even after the file
+    on disk was rebuilt. Load through a unique unlinked temp copy so a
+    post-rebuild retry actually observes the new binary."""
+    import shutil
+    import tempfile
+    fd, tmp = tempfile.mkstemp(suffix=".so",
+                               prefix=os.path.basename(path) + ".")
+    os.close(fd)
+    try:
+        shutil.copy2(path, tmp)
+        return ctypes.CDLL(tmp)
+    finally:
+        os.unlink(tmp)  # the mapping outlives the unlink on POSIX
 
 
 def _abi_ok(lib, symbol, expected, lib_path):
@@ -62,10 +80,13 @@ def _abi_ok(lib, symbol, expected, lib_path):
 
 
 def _load():
-    global _lib, _build_attempted
+    global _lib, _build_attempted, _lib_refused
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _lib_refused:
+            return None
+        _lib_refused = True  # cleared below on success
         if _stale(_LIB_PATH, "dataio.cpp") and not _build_attempted:
             _build_attempted = True
             try:
@@ -80,16 +101,18 @@ def _load():
         if not _abi_ok(lib, "ctpu_dataio_abi_version", _DATAIO_ABI,
                        _LIB_PATH):
             # one rebuild attempt, then give up on the native path
-            if not _build_attempted:
-                _build_attempted = True
-                try:
-                    _run_make()
-                    lib = ctypes.CDLL(_LIB_PATH)
-                except Exception:
-                    return None
+            if _build_attempted:
+                return None
+            _build_attempted = True
+            try:
+                _run_make()
+                lib = _dlopen_fresh(_LIB_PATH)
+            except Exception:
+                return None
             if not _abi_ok(lib, "ctpu_dataio_abi_version", _DATAIO_ABI,
                            _LIB_PATH):
                 return None
+        _lib_refused = False
         lib.ctpu_tar_index.restype = ctypes.c_int64
         lib.ctpu_tar_index.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
@@ -164,6 +187,7 @@ _JPEG_LIB_PATH = os.path.abspath(
     os.path.join(_NATIVE_DIR, "libconvnet_jpegdec.so"))
 _jpeg_lib = None
 _jpeg_build_attempted = False
+_jpeg_refused = False  # terminal load failure — don't retry per call
 
 
 def _stale(lib_path, src_name):
@@ -182,10 +206,13 @@ def _stale(lib_path, src_name):
 def _load_jpeg():
     """libconvnet_jpegdec.so: GIL-free pread + libjpeg decode +
     crop/resize batch pipeline (native/jpegdec.cpp)."""
-    global _jpeg_lib, _jpeg_build_attempted
+    global _jpeg_lib, _jpeg_build_attempted, _jpeg_refused
     with _lib_lock:
         if _jpeg_lib is not None:
             return _jpeg_lib
+        if _jpeg_refused:
+            return None
+        _jpeg_refused = True  # cleared below on success
         if _stale(_JPEG_LIB_PATH, "jpegdec.cpp") and not _jpeg_build_attempted:
             _jpeg_build_attempted = True
             try:
@@ -203,16 +230,18 @@ def _load_jpeg():
             return None
         if not _abi_ok(lib, "ctpu_jpegdec_abi_version", _JPEGDEC_ABI,
                        _JPEG_LIB_PATH):
-            if not _jpeg_build_attempted:
-                _jpeg_build_attempted = True
-                try:
-                    _run_make()
-                    lib = ctypes.CDLL(_JPEG_LIB_PATH)
-                except Exception:
-                    return None
+            if _jpeg_build_attempted:
+                return None
+            _jpeg_build_attempted = True
+            try:
+                _run_make()
+                lib = _dlopen_fresh(_JPEG_LIB_PATH)
+            except Exception:
+                return None
             if not _abi_ok(lib, "ctpu_jpegdec_abi_version", _JPEGDEC_ABI,
                            _JPEG_LIB_PATH):
                 return None
+        _jpeg_refused = False
         # one shared tail signature for both entry points — the only
         # difference is the first argument (tar path vs memory base).
         # MUST stay in lockstep with native/jpegdec.cpp and with
@@ -241,10 +270,12 @@ def jpeg_available() -> bool:
 def _decode_call(entry, first_arg, offsets, sizes, *, train, out_size,
                  scale_size, seed, scale, ratio, duplicates, fast_dct,
                  threads):
-    """Shared ctypes tail for both decode entry points — the 14
-    positional arguments after the source argument must stay in
-    lockstep with the C ABI (native/jpegdec.cpp decode_batch_impl,
-    ABI v2), so they are marshalled in exactly one place."""
+    """Shared ctypes tail for both decode entry points — the 16
+    positional arguments after the source argument (offsets, sizes, n,
+    mode, out_size, scale_size, seed, scale lo/hi, ratio lo/hi, dup,
+    fast_dct, out, fail_mask, nthreads) must stay in lockstep with the
+    C ABI (native/jpegdec.cpp decode_batch_impl, ABI v2), so they are
+    marshalled in exactly one place."""
     offsets = np.ascontiguousarray(offsets, np.int64)
     sizes = np.ascontiguousarray(sizes, np.int64)
     n = len(offsets)

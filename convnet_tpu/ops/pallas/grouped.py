@@ -40,21 +40,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from convnet_tpu.ops.conv import _grouped_dense_tiles, _tiled_grouped_eligible
 from convnet_tpu.ops.pallas.pool import _out_size, _pair, _parity_tap
 
 
 def _dense_tiles(w: jax.Array) -> jax.Array:
     """Grouped HWIO weight (kh,kw,cg,C) -> (T, kh*kw, 128, 128) dense
-    block-diagonal tiles (ops/conv.py:_grouped_dense_tiles twin, tap
-    axis flattened for the kernel)."""
+    block-diagonal tiles. Reuses ops/conv.py's tile construction (the
+    XLA training lowering) so the two paths cannot drift; only the tap
+    axis is flattened for the kernel's BlockSpec."""
     kh, kw, cg, C = w.shape
-    T = C // 128
-    gpt = 128 // cg
-    wr = w.reshape(kh, kw, cg, T, gpt, cg).transpose(3, 0, 1, 2, 4, 5)
-    eye = jnp.eye(gpt, dtype=w.dtype)
-    wd = (wr[:, :, :, None, :, :, :]
-          * eye[None, None, None, :, None, :, None])
-    return wd.reshape(T, kh * kw, 128, 128)
+    return _grouped_dense_tiles(w, C // cg).reshape(C // 128, kh * kw, 128, 128)
 
 
 @lru_cache(maxsize=None)
@@ -191,11 +187,8 @@ def grouped_conv_pallas(x, wt, stride=1, padding=0, groups=1,
 
 
 def supported(x_shape, wt_shape, groups, stride, dilation=1):
-    """Structural eligibility (ops/conv.py:_tiled_grouped_eligible
-    twin, plus the kernel's own stride/tap limits)."""
-    kh, kw, cg, cout = wt_shape
-    cin = x_shape[-1]
+    """Structural eligibility: ops/conv.py's tiled-dense rule (reused,
+    not duplicated) plus this kernel's own stride/tap limits."""
     sh, sw = _pair(stride)
-    return (groups > 1 and cg > 1 and cin == cout
-            and cin % 128 == 0 and 128 % cg == 0
-            and sh <= 2 and sw <= 2 and _pair(dilation) == (1, 1))
+    return (_tiled_grouped_eligible(x_shape, wt_shape, groups, dilation)
+            and sh <= 2 and sw <= 2)

@@ -95,6 +95,26 @@ class Regime:
         return f"Regime(phases={len(self.regime)}, setting={self.setting})"
 
 
+def _nominal_lr(base) -> float:
+    """Nominal lr of a regime entry's ``lr`` value.
+
+    Scalars are their own nominal. For callables, prefer the
+    ``.base_lr`` attribute the ``schedules.py`` factories attach (the
+    advertised peak lr of warmup/decay schedules). A foreign callable
+    without it is probed: max over an epoch × log-step grid — for any
+    ramp-then-decay shape the grid lands within a few percent of the
+    peak, which is the value a user means by "the schedule's lr".
+    """
+    if not callable(base):
+        return float(base)
+    attr = getattr(base, "base_lr", None)
+    if attr is not None:
+        return float(attr)
+    steps = [0] + [int(10 ** (k / 4)) for k in range(0, 29)]  # 1 .. 1e7
+    epochs = [0.0, 0.5, 1, 2, 5, 10, 20, 30, 45, 60, 80, 90, 120, 200]
+    return max(float(base(e, s)) for e in epochs for s in steps)
+
+
 def rescale_regime_lr(regime: List[Dict[str, Any]],
                       target_base_lr: float) -> List[Dict[str, Any]]:
     """Multiplicatively rescale EVERY lr in a regime so the base
@@ -105,7 +125,11 @@ def rescale_regime_lr(regime: List[Dict[str, Any]],
     and the whole curve is scaled — a ``--lr 0.05`` does NOT silently
     revert to the model's schedule at the first phase boundary.
     Callable lr entries (``f(epoch, step)``) are wrapped; the base is
-    the first phase's lr evaluated at (0, 0).
+    the first phase's NOMINAL lr — the factory-attached ``.base_lr``
+    (all ``schedules.py`` factories set it), falling back to the
+    callable's maximum over a probe grid. Never ``f(0, 0)``: for a
+    warmup schedule that is the tiny first micro-step, and dividing by
+    it would blow the whole schedule up by ~warmup_steps.
     """
     base = None
     for entry in regime:
@@ -114,7 +138,7 @@ def rescale_regime_lr(regime: List[Dict[str, Any]],
             break
     if base is None:  # no lr anywhere → inject flat
         return [{**regime[0], "lr": target_base_lr}] + list(regime[1:])
-    base_val = float(base(0, 0) if callable(base) else base)
+    base_val = float(_nominal_lr(base))
     if base_val == 0.0:
         raise ValueError("cannot rescale a regime whose base lr is 0; "
                          "pass the schedule explicitly instead of --lr")
@@ -123,8 +147,11 @@ def rescale_regime_lr(regime: List[Dict[str, Any]],
     for entry in regime:
         if "lr" in entry:
             v = entry["lr"]
-            scaled = ((lambda e, s, _f=v: _f(e, s) * factor)
-                      if callable(v) else v * factor)
+            if callable(v):
+                scaled = lambda e, s, _f=v: _f(e, s) * factor  # noqa: E731
+                scaled.base_lr = _nominal_lr(v) * factor
+            else:
+                scaled = v * factor
             entry = {**entry, "lr": scaled}
         out.append(entry)
     return out

@@ -21,6 +21,7 @@ def linear_warmup_lr(base_lr: float, target_lr: float, warmup_steps: int):
             return target_lr
         return base_lr + (target_lr - base_lr) * (step / warmup_steps)
 
+    lr.base_lr = target_lr  # nominal (post-warmup) lr, for rescale_regime_lr
     return lr
 
 
@@ -36,6 +37,7 @@ def step_decay_lr(base_lr: float, decay: float, every_epochs: int):
     def lr(epoch, step):
         return base_lr * (decay ** (int(epoch) // every_epochs))
 
+    lr.base_lr = base_lr  # nominal lr, for rescale_regime_lr
     return lr
 
 
@@ -47,6 +49,7 @@ def cosine_lr(base_lr: float, total_steps: int, final_lr: float = 0.0,
         t = min(max(step - warmup_steps, 0) / max(total_steps - warmup_steps, 1), 1.0)
         return final_lr + 0.5 * (base_lr - final_lr) * (1 + math.cos(math.pi * t))
 
+    lr.base_lr = base_lr  # nominal (peak) lr, for rescale_regime_lr
     return lr
 
 
@@ -62,6 +65,7 @@ def polynomial_lr(base_lr: float, total_steps: int, power: float = 2.0,
         t = min(max(step - warmup_steps, 0) / max(total_steps - warmup_steps, 1), 1.0)
         return final_lr + (base_lr - final_lr) * (1.0 - t) ** power
 
+    lr.base_lr = base_lr  # nominal (peak) lr, for rescale_regime_lr
     return lr
 
 

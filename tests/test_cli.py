@@ -297,3 +297,31 @@ def test_resume_with_matching_model_merges_recorded_config(tmp_path):
         "--evaluate", str(tmp_path / "t" / "model_best.npz"),
     ])
     assert np.isfinite(res["loss"])
+
+
+def test_evaluate_and_resume_restore_input_size(tmp_path):
+    """Geometry is part of the checkpoint identity: a run trained at
+    --input-size 24 must evaluate AND resume at 24 without the flag —
+    the dataset-default geometry silently degrading accuracy (and a
+    resume erasing the recorded size) was the serving/eval-disagreement
+    class of bug (see commit 767be04 postmortem)."""
+    from convnet_tpu.utils.checkpoint import peek_checkpoint_meta
+
+    _run(tmp_path, "--input-size", "24")
+    ckpt = str(tmp_path / "t" / "model_best.npz")
+    assert peek_checkpoint_meta(ckpt)["input_size"] == 24
+
+    res = main([
+        "--dataset", "synthetic", "-b", "16", "--print-freq", "0",
+        "--results-dir", str(tmp_path), "--save", "t-eval24",
+        "--evaluate", ckpt,
+    ])
+    assert np.isfinite(res["loss"])  # geometry restored, shapes agree
+
+    main([
+        "--dataset", "synthetic", "-b", "16", "--epochs", "2",
+        "--print-freq", "0", "--results-dir", str(tmp_path),
+        "--save", "t24b", "--resume", ckpt,
+    ])
+    meta2 = peek_checkpoint_meta(str(tmp_path / "t24b" / "checkpoint.npz"))
+    assert meta2["input_size"] == 24  # resume re-records, not erases

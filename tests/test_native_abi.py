@@ -172,3 +172,25 @@ def test_fast_dct_valid_and_distinct():
     ev_fast = native.decode_blobs(blobs, train=False, out_size=64,
                                   scale_size=96, fast_dct=True, threads=2)
     assert np.array_equal(ev_slow[0], ev_fast[0])
+
+
+def test_abi_refusal_is_memoized(monkeypatch, caplog):
+    """A refused library must be refused ONCE per process — not
+    re-CDLLed (dlopen returns the stale mapping anyway) and re-warned
+    on every loader batch."""
+    import logging
+
+    import convnet_tpu.data.native as native
+
+    if not os.path.exists(os.path.join(NATIVE_DIR,
+                                       "libconvnet_jpegdec.so")):
+        pytest.skip("no committed .so to load")
+    monkeypatch.setattr(native, "_jpeg_lib", None)
+    monkeypatch.setattr(native, "_jpeg_refused", False)
+    monkeypatch.setattr(native, "_jpeg_build_attempted", True)
+    monkeypatch.setattr(native, "_JPEGDEC_ABI", 10 ** 6)  # force mismatch
+    with caplog.at_level(logging.WARNING):
+        assert native._load_jpeg() is None
+        assert native._load_jpeg() is None  # memoized: no second load
+    refusals = [r for r in caplog.records if "refusing" in r.message]
+    assert len(refusals) == 1

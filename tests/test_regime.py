@@ -133,3 +133,33 @@ def test_replace_regime_key_never_reverts():
     o.update(30, 1000)
     assert o.hyperparams()["momentum"] == pytest.approx(0.5)
     assert o.hyperparams()["lr"] == pytest.approx(0.01)  # lr untouched
+
+
+def test_rescale_regime_lr_warmup_schedule_uses_nominal_base():
+    """Regression: the base of a warmup schedule is its NOMINAL (peak)
+    lr, not f(0, 0) — the first warmup micro-step is ~lr/warmup_steps,
+    and dividing by it blew the rescaled schedule up by ~warmup_steps
+    (post-warmup lr 1251 instead of 0.05 on the RN50 cosine regime)."""
+    from convnet_tpu.regimes.regime import rescale_regime_lr
+
+    spe = 5004  # ImageNet B256 steps/epoch
+    regime = [{"epoch": 0, "optimizer": "SGD",
+               "lr": schedules.cosine_lr(0.1, 90 * spe, warmup_steps=5 * spe)}]
+    scaled = rescale_regime_lr(regime, 0.05)
+    lr = scaled[0]["lr"]
+    assert lr(6, 6 * spe) == pytest.approx(0.05, rel=1e-2)   # post-warmup peak
+    assert lr(0, 0) < 1e-4                                   # warmup ramp kept
+    assert lr(90, 90 * spe) == pytest.approx(0.0, abs=1e-6)  # decay endpoint
+
+
+def test_rescale_regime_lr_foreign_callable_probed():
+    """A user-supplied lr callable without .base_lr is probed for its
+    peak rather than trusted at (0, 0)."""
+    from convnet_tpu.regimes.regime import rescale_regime_lr
+
+    def foreign(epoch, step):  # warmup to 0.3 over 1k steps, then flat
+        return 0.3 * min((step + 1) / 1000.0, 1.0)
+
+    scaled = rescale_regime_lr([{"epoch": 0, "lr": foreign}], 0.15)
+    lr = scaled[0]["lr"]
+    assert lr(2, 10_000) == pytest.approx(0.15, rel=0.05)
